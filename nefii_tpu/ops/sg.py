@@ -1,0 +1,248 @@
+"""Closed-form spherical-Gaussian rendering (PhySG-style).
+
+TPU-native equivalent of the reference's model/sg_render.py: the analytic
+rendering equation under a mixture-of-SG environment light — GGX NDF as an SG
+with spherical warp (:199-213), Fresnel+geometry folded into the SG amplitude
+(:215-236), SG products via `lambda_trick` (:141-158), and the numerically
+stable clamped-cosine hemisphere integral (:112-138). Also `compute_envmap`
+SG -> equirect in mitsuba/blender conventions (:10-55).
+
+Everything is pure jnp on fixed shapes; XLA fuses the whole shader into a few
+elementwise+reduce kernels around the caller's MLP matmuls. The numerics
+(TINY_NUMBER clamps, stable exponent forms) are kept bit-compatible in fp32
+because quality gates demand PSNR parity with the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+TINY_NUMBER = 1e-6
+
+# clamped-cosine as a single SG (Meder & Bruderlin fit, used by PhySG)
+MU_COS = 32.7080
+LAMBDA_COS = 0.0315
+ALPHA_COS = 31.7003
+
+
+def norm_axis(x: jnp.ndarray, eps: float = TINY_NUMBER) -> jnp.ndarray:
+    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
+
+
+def hemisphere_int(lambda_val: jnp.ndarray, cos_beta: jnp.ndarray) -> jnp.ndarray:
+    """Integral of an SG over the hemisphere about a direction at angle beta.
+
+    Numerically stable form (reference sg_render.py:112-138).
+    """
+    lambda_val = lambda_val + TINY_NUMBER
+    inv_lambda_val = 1.0 / lambda_val
+    t = jnp.sqrt(lambda_val) * (1.6988 + 10.8438 * inv_lambda_val) / (
+        1.0 + 6.2201 * inv_lambda_val + 10.2415 * inv_lambda_val * inv_lambda_val
+    )
+
+    inv_a = jnp.exp(-t)
+    mask = (cos_beta >= 0).astype(lambda_val.dtype)
+    inv_b = jnp.exp(-t * jnp.clip(cos_beta, 0.0))
+    s1 = (1.0 - inv_a * inv_b) / (1.0 - inv_a + inv_b - inv_a * inv_b)
+    b = jnp.exp(t * jnp.clip(cos_beta, None, 0.0))
+    s2 = (b - inv_a) / ((1.0 - inv_a) * (b + 1.0))
+    s = mask * s1 + (1.0 - mask) * s2
+
+    A_b = 2.0 * np.pi / lambda_val * (jnp.exp(-lambda_val) - jnp.exp(-2.0 * lambda_val))
+    A_u = 2.0 * np.pi / lambda_val * (1.0 - jnp.exp(-lambda_val))
+    return A_b * (1.0 - s) + A_u * s
+
+
+def lambda_trick(lobe1, lambda1, mu1, lobe2, lambda2, mu2):
+    """Product of two SGs as a single SG; assumes lambda1 << lambda2."""
+    ratio = lambda1 / lambda2
+    dot = jnp.sum(lobe1 * lobe2, axis=-1, keepdims=True)
+    tmp = jnp.sqrt(ratio * ratio + 1.0 + 2.0 * ratio * dot)
+    tmp = jnp.minimum(tmp, ratio + 1.0)
+
+    lambda3 = lambda2 * tmp
+    lambda1_over_lambda3 = ratio / tmp
+    lambda2_over_lambda3 = 1.0 / tmp
+    diff = lambda2 * (tmp - ratio - 1.0)
+
+    final_lobes = lambda1_over_lambda3 * lobe1 + lambda2_over_lambda3 * lobe2
+    final_mus = mu1 * mu2 * jnp.exp(diff)
+    return final_lobes, lambda3, final_mus
+
+
+def sg_fn(upsilon: jnp.ndarray, xi: jnp.ndarray, lamb: jnp.ndarray, mu: jnp.ndarray):
+    """Evaluate SG(upsilon): mu * exp(lambda * (<upsilon, xi> - 1))."""
+    return mu * jnp.exp(lamb * (jnp.sum(upsilon * xi, axis=-1, keepdims=True) - 1.0))
+
+
+def extract_light_sg(lgtSGs: jnp.ndarray):
+    """[..., M, 7] -> unit lobes [..., M, 3], |lambda| [..., M, 1], |mu| [..., M, 3]."""
+    lobes = norm_axis(lgtSGs[..., :3])
+    lambdas = jnp.abs(lgtSGs[..., 3:4])
+    mus = jnp.abs(lgtSGs[..., -3:])
+    return lobes, lambdas, mus
+
+
+def render_with_sg(
+    lgtSGs: jnp.ndarray,
+    specular_reflectance: jnp.ndarray,
+    roughness: jnp.ndarray,
+    diffuse_albedo: jnp.ndarray,
+    normal: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    blending_weights: Optional[jnp.ndarray] = None,
+    diffuse_rgb: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Closed-form SG shading (reference sg_render.py:164-295).
+
+    lgtSGs [M,7]; specular_reflectance [K,3]; roughness [K,1];
+    diffuse_albedo/normal/viewdirs [..., 3];
+    blending_weights [..., K] or None. Returns dict of [..., 3] images.
+    """
+    M = lgtSGs.shape[0]
+    K = specular_reflectance.shape[0]
+    assert K == roughness.shape[0]
+    dots_shape = normal.shape[:-1]
+
+    # broadcast everything to [..., M, K, 3]
+    normal_mk = jnp.broadcast_to(normal[..., None, None, :], dots_shape + (M, K, 3))
+    viewdirs_mk = jnp.broadcast_to(viewdirs[..., None, None, :], dots_shape + (M, K, 3))
+    lgt = jnp.broadcast_to(lgtSGs[..., :, None, :], dots_shape + (M, K, 7))
+
+    lgtSGLobes = norm_axis(lgt[..., :3])
+    lgtSGLambdas = jnp.abs(lgt[..., 3:4])
+    lgtSGMus = jnp.abs(lgt[..., -3:])
+
+    # GGX NDF as an SG about the normal
+    brdfSGLobes = normal_mk
+    inv_roughness_pow4 = 1.0 / (roughness**4)  # [K,1]
+    brdfSGLambdas = jnp.broadcast_to(
+        2.0 * inv_roughness_pow4, dots_shape + (M, K, 1)
+    )
+    mu_val = jnp.broadcast_to(inv_roughness_pow4 / np.pi, (K, 3))
+    brdfSGMus = jnp.broadcast_to(mu_val, dots_shape + (M, K, 3))
+
+    # spherical warp to the reflection direction
+    v_dot_lobe = jnp.clip(
+        jnp.sum(brdfSGLobes * viewdirs_mk, axis=-1, keepdims=True), 0.0
+    )
+    warpBrdfSGLobes = norm_axis(2 * v_dot_lobe * brdfSGLobes - viewdirs_mk)
+    warpBrdfSGLambdas = brdfSGLambdas / (4 * v_dot_lobe + TINY_NUMBER)
+    warpBrdfSGMus = brdfSGMus
+
+    # Fresnel + geometry folded into the SG amplitude
+    new_half = norm_axis(warpBrdfSGLobes + viewdirs_mk)
+    v_dot_h = jnp.clip(jnp.sum(viewdirs_mk * new_half, axis=-1, keepdims=True), 0.0)
+    spec_mk = jnp.broadcast_to(specular_reflectance, dots_shape + (M, K, 3))
+    F = spec_mk + (1.0 - spec_mk) * jnp.power(
+        2.0, -(5.55473 * v_dot_h + 6.8316) * v_dot_h
+    )
+
+    dot1 = jnp.clip(jnp.sum(warpBrdfSGLobes * normal_mk, axis=-1, keepdims=True), 0.0)
+    dot2 = jnp.clip(jnp.sum(viewdirs_mk * normal_mk, axis=-1, keepdims=True), 0.0)
+    k = (roughness + 1.0) ** 2 / 8.0
+    G1 = dot1 / (dot1 * (1 - k) + k + TINY_NUMBER)
+    G2 = dot2 / (dot2 * (1 - k) + k + TINY_NUMBER)
+    G = G1 * G2
+
+    Moi = F * G / (4 * dot1 * dot2 + TINY_NUMBER)
+    warpBrdfSGMus = warpBrdfSGMus * Moi
+
+    # light SG x warped-BRDF SG
+    final_lobes, final_lambdas, final_mus = lambda_trick(
+        lgtSGLobes, lgtSGLambdas, lgtSGMus,
+        warpBrdfSGLobes, warpBrdfSGLambdas, warpBrdfSGMus,
+    )
+
+    # x clamped cosine, then hemisphere integral
+    lobe_prime, lambda_prime, mu_prime = lambda_trick(
+        normal_mk, LAMBDA_COS, MU_COS, final_lobes, final_lambdas, final_mus
+    )
+    dot1 = jnp.sum(lobe_prime * normal_mk, axis=-1, keepdims=True)
+    dot2 = jnp.sum(final_lobes * normal_mk, axis=-1, keepdims=True)
+    specular_rgb = mu_prime * hemisphere_int(lambda_prime, dot1) - final_mus * ALPHA_COS * hemisphere_int(final_lambdas, dot2)
+
+    if blending_weights is None:
+        specular_rgb = specular_rgb.sum(axis=-2).sum(axis=-2)
+    else:
+        specular_rgb = (specular_rgb.sum(axis=-3) * blending_weights[..., None]).sum(axis=-2)
+    specular_rgb = jnp.clip(specular_rgb, 0.0)
+
+    # diffuse hemisphere integral
+    if diffuse_rgb is None:
+        diffuse = jnp.broadcast_to(
+            (diffuse_albedo / np.pi)[..., None, None, :], dots_shape + (M, 1, 3)
+        )
+        d_lobes = lgtSGLobes[..., :, 0:1, :]
+        d_mus = lgtSGMus[..., :, 0:1, :] * diffuse
+        d_lambdas = lgtSGLambdas[..., :, 0:1, :]
+
+        normal_m1 = normal_mk[..., :, 0:1, :]
+        lobe_prime, lambda_prime, mu_prime = lambda_trick(
+            normal_m1, LAMBDA_COS, MU_COS, d_lobes, d_lambdas, d_mus
+        )
+        dot1 = jnp.sum(lobe_prime * normal_m1, axis=-1, keepdims=True)
+        dot2 = jnp.sum(d_lobes * normal_m1, axis=-1, keepdims=True)
+        diffuse_rgb = mu_prime * hemisphere_int(lambda_prime, dot1) - d_mus * ALPHA_COS * hemisphere_int(d_lambdas, dot2)
+        diffuse_rgb = jnp.clip(diffuse_rgb.sum(axis=-2).sum(axis=-2), 0.0)
+
+    rgb = specular_rgb + diffuse_rgb
+    return {
+        "sg_rgb": rgb,
+        "sg_specular_rgb": specular_rgb,
+        "sg_diffuse_rgb": diffuse_rgb,
+        "sg_diffuse_albedo": diffuse_albedo,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Envmap visualisation (reference sg_render.py:10-66)
+# ---------------------------------------------------------------------------
+
+def envmap_view_dirs(H: int, W: int, upper_hemi: bool = False, coordinate_type: str = "mitsuba"):
+    if coordinate_type == "mitsuba":
+        phi_max = np.pi / 2.0 if upper_hemi else np.pi
+        phi = jnp.linspace(0.0, phi_max, H)
+        theta = jnp.linspace(-0.5 * np.pi, 1.5 * np.pi, W)
+        phi, theta = jnp.meshgrid(phi, theta, indexing="ij")
+        return jnp.stack(
+            [jnp.cos(theta) * jnp.sin(phi), jnp.cos(phi), jnp.sin(theta) * jnp.sin(phi)],
+            axis=-1,
+        )
+    elif coordinate_type == "blender":
+        phi_max = np.pi / 2.0 if upper_hemi else np.pi
+        phi = jnp.linspace(0.0, phi_max, H)
+        theta = jnp.linspace(1.0 * np.pi, -1.0 * np.pi, W)
+        phi, theta = jnp.meshgrid(phi, theta, indexing="ij")
+        return jnp.stack(
+            [jnp.cos(theta) * jnp.sin(phi), jnp.sin(theta) * jnp.sin(phi), jnp.cos(phi)],
+            axis=-1,
+        )
+    raise ValueError(f"unknown coordinate_type {coordinate_type!r}")
+
+
+def compute_envmap(
+    lgtSGs: jnp.ndarray,
+    H: int,
+    W: int,
+    upper_hemi: bool = False,
+    coordinate_type: str = "mitsuba",
+    envmap_type: str = "sg",
+) -> jnp.ndarray:
+    """SG mixture [M,7] (or constant map [M,M,3]) -> equirect envmap [H,W,3]."""
+    if envmap_type == "constant":
+        return compute_envmap_2d(lgtSGs, H, W)
+    viewdirs = envmap_view_dirs(H, W, upper_hemi, coordinate_type)  # [H,W,3]
+    lobes, lambdas, mus = extract_light_sg(lgtSGs)  # [M,*]
+    rgb = sg_fn(viewdirs[..., None, :], lobes, lambdas, mus)  # [H,W,M,3]
+    return rgb.sum(axis=-2)
+
+
+def compute_envmap_2d(lgtMap: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Bilinear-resize a constant 2D light map [h,w,3] to [H,W,3]."""
+    import jax.image
+
+    return jax.image.resize(lgtMap, (H, W, lgtMap.shape[-1]), method="bilinear")
