@@ -1,0 +1,567 @@
+"""Monte-Carlo path-traced shading with near-field indirect illumination.
+
+TPU-native re-design of the reference's model/path_tracing_render.py family
+(12 `pt_render*` variants, :416-2166). One engine, `pt_render_core`, covers
+the whole family through static options; the reference entry points are thin
+wrappers with matching names/semantics (see the dispatch table in
+implicit_differentiable_renderer.py:721-759).
+
+Key design decisions (SURVEY.md §7):
+  * The model<->shader cycle becomes explicit closures in `SceneFns` — the
+    shader never holds a module reference, so the whole render jits.
+  * All strategies' secondary rays are concatenated into ONE ray-tracer call
+    (the reference's `speed_first` batching, :1332-1375); `speed_first=False`
+    runs strategies through `lax.map` for 3x lower peak memory (the
+    `_memsave` variants, :1260-1262).
+  * Visibility/indirect MLP evaluations run dense over all rays and are
+    masked afterwards — fixed shapes, no boolean gathers.
+  * Sampling and the 3x3 pdf matrix sit under `stop_gradient`, mirroring the
+    reference's `torch.no_grad()` blocks; light SGs, materials, soft
+    visibility, and indirect radiance stay differentiable exactly as in the
+    reference (grad-boundary parity is required for training to converge —
+    SURVEY.md §7.4 item 2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nefii_tpu.models.sample_network import sample_network
+from nefii_tpu.ops import sampling
+from nefii_tpu.ops.sampling import TINY_NUMBER
+from nefii_tpu.utils.camera import get_sphere_intersection
+
+stop_grad = jax.lax.stop_gradient
+
+
+class SceneFns(NamedTuple):
+    """Closures over network params that the shader calls back into.
+
+    trace(origins [N,3], dirs [N,3], key, training) -> (points, hit_mask, dists)
+        — secondary-ray sphere tracer; outputs are already stop-gradiented.
+    implicit(pts [P,3]) -> [P, 1+F]  (sdf + geometry feature)
+    implicit_grad(pts [P,3]) -> [P,3]  (differentiable spatial sdf gradient)
+    radiance(pts, normals, view_dirs, feats) -> [P,3]  (IDR radiance cache)
+    """
+
+    trace: Callable
+    implicit: Callable
+    implicit_grad: Callable
+    radiance: Callable
+    feature_size: int = 0
+    bounding_sphere: float = 1.0
+
+
+# ---------------------------------------------------------------------------
+# shared shading pieces
+# ---------------------------------------------------------------------------
+
+def ggx_brdf_direct(
+    wi: jnp.ndarray,
+    normal: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    roughness: jnp.ndarray,
+    specular_reflectance: jnp.ndarray,
+) -> jnp.ndarray:
+    """Cook-Torrance specular BRDF evaluated in direction space.
+
+    Matches the reference's stable-root GGX D (path_tracing_render.py:1428-1434),
+    Schlick-approx Fresnel and Smith G (:1436-1449). Shapes broadcast:
+    roughness [...,1] or [K,1], specular [...,3] or [K,3].
+    """
+    half = wi + viewdirs
+    half = half / (jnp.linalg.norm(half, axis=-1, keepdims=True) + TINY_NUMBER)
+
+    n_dot_h = jnp.clip(jnp.sum(normal * half, -1, keepdims=True), 0.0)
+    r2 = roughness**2
+    root = n_dot_h**2 + (1 - n_dot_h**2) / (r2**2)
+    D = 1.0 / (np.pi * (r2**2) * root * root)
+
+    v_dot_h = jnp.clip(jnp.sum(viewdirs * half, -1, keepdims=True), 0.0)
+    F = specular_reflectance + (1.0 - specular_reflectance) * jnp.power(
+        2.0, -(5.55473 * v_dot_h + 6.8316) * v_dot_h
+    )
+
+    dot1 = jnp.clip(jnp.sum(viewdirs * normal, -1, keepdims=True), 0.0)
+    dot2 = jnp.clip(jnp.sum(wi * normal, -1, keepdims=True), 0.0)
+    k = (roughness + 1.0) ** 2 / 8.0
+    G1 = dot1 / (dot1 * (1 - k) + k + TINY_NUMBER)
+    G2 = dot2 / (dot2 * (1 - k) + k + TINY_NUMBER)
+    return F * D * G1 * G2 / (4 * dot1 * dot2 + TINY_NUMBER)
+
+
+def visibility_and_indirect(
+    scene: SceneFns,
+    light_points: jnp.ndarray,  # [P,3] secondary hit (or fallback) points, detached
+    hit_mask: jnp.ndarray,      # [P,1]
+    dists: jnp.ndarray,         # [P,1]
+    wi: jnp.ndarray,            # [P,3]
+    render_points: jnp.ndarray, # [P,3] primary surface points
+    diff_geo: bool,
+):
+    """Soft/hard visibility + indirect radiance at secondary hits.
+
+    Reference: get_visibility_and_indirect_light (path_tracing_render.py:
+    2109-2166). Dense evaluation, masked at the end.
+    """
+    out = scene.implicit(light_points)
+    sdf_value = jax.nn.relu(out[:, 0:1])
+
+    if diff_geo:
+        alpha = 50.0
+        visibility = 1 - jnp.log(1 + jnp.exp(-alpha * sdf_value)) / np.log(2.0)
+    else:
+        visibility = 1 - hit_mask.astype(jnp.float32)
+
+    if diff_geo:
+        grad = scene.implicit_grad(light_points)
+        dsp = sample_network(
+            sdf_value,
+            stop_grad(sdf_value),
+            stop_grad(grad),
+            dists,
+            render_points,
+            wi,
+        )
+    else:
+        dsp = light_points
+
+    g = scene.implicit_grad(dsp)
+    if not diff_geo:
+        g = stop_grad(g)
+    normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-6)
+    view_dirs = -wi
+    view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
+
+    feats = out[:, 1:] if scene.feature_size > 0 else None
+    idr_rgb = scene.radiance(dsp, normals, view_dirs, feats)
+    idr_rgb = jnp.where(hit_mask, idr_rgb, 0.0)
+    return visibility, idr_rgb
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+_SAMPLERS = ("cos", "brdf", "mix_sg", "env2d")
+
+
+def pt_render_core(
+    key: jax.Array,
+    lgtSGs: jnp.ndarray,                 # [M,7] SG light or [H,W,3] constant map
+    specular_reflectance: jnp.ndarray,   # [K,3] or [...,3]
+    roughness: jnp.ndarray,              # [K,1] or [...,1]
+    diffuse_albedo: jnp.ndarray,         # [...,3]
+    normal: jnp.ndarray,                 # [N,3] unit, toward camera side
+    viewdirs: jnp.ndarray,               # [N,3] unit, surface -> camera
+    points: Optional[jnp.ndarray] = None,  # [N,3] surface points (for shadows)
+    scene: Optional[SceneFns] = None,
+    *,
+    strategies: Tuple[str, ...] = ("cos", "brdf", "mix_sg"),
+    shadow: Optional[str] = None,        # None | "hard" | "soft" | "indirect"
+    diff_geo: bool = False,
+    sphere_fallback: bool = False,       # replace miss hit-points by far-sphere points
+    light_type: str = "sg",
+    blending_weights: Optional[jnp.ndarray] = None,
+    blend_materials: bool = False,
+    diffuse_rgb: Optional[jnp.ndarray] = None,
+    speed_first: bool = True,
+    training: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    N = normal.shape[0]
+    S = len(strategies)
+
+    if blend_materials and blending_weights is not None:
+        # K base materials blended per-point before sampling (:1757-1764)
+        specular_reflectance = (
+            specular_reflectance[None, :, :] * blending_weights[..., None]
+        ).sum(-2)
+        roughness = (roughness[None, :, :] * blending_weights[..., None]).sum(-2)
+
+    # per-ray roughness for BRDF sampling: [K=1,1] globals broadcast to [N,1]
+    if roughness.ndim == 2 and roughness.shape[0] == 1 and N != 1:
+        roughness_brdf = jnp.broadcast_to(roughness, (N, 1))
+    else:
+        roughness_brdf = roughness
+
+    lgt_for_pdf = lgtSGs
+
+    # ---- sampling (no grad, reference :1290-1325) ------------------------
+    normal_s = stop_grad(normal)
+    viewdirs_s = stop_grad(viewdirs)
+    rough_s = stop_grad(roughness_brdf)
+    lgt_s = stop_grad(lgtSGs)
+
+    def pdf_fn_for(name):
+        if name == "cos":
+            return sampling.pdf_fn_cos
+        if name == "brdf":
+            return sampling.pdf_fn_brdf_ggx
+        if name == "mix_sg":
+            return sampling.pdf_fn_mix_sg_shared
+        if name == "env2d":
+            return sampling.pdf_fn_constant_2d_light
+        raise ValueError(name)
+
+    keys = jax.random.split(key, S + 1)
+    wi_list: List[jnp.ndarray] = []
+    pdf_list: List[jnp.ndarray] = []
+    for i, name in enumerate(strategies):
+        if name == "cos":
+            wi, pdf = sampling.cos_sampling(keys[i], normal_s)
+        elif name == "brdf":
+            wi, pdf = sampling.brdf_sampling(keys[i], normal_s, rough_s, viewdirs_s)
+        elif name == "mix_sg":
+            wi, pdf = sampling.mix_sg_sampling_shared(keys[i], normal_s, lgt_s)
+        elif name == "env2d":
+            wi, pdf = sampling.constant_2d_light_sampling(keys[i], normal_s, lgt_s)
+        else:
+            raise ValueError(name)
+        wi_list.append(stop_grad(wi))
+        pdf_list.append(jnp.clip(stop_grad(pdf), TINY_NUMBER))
+
+    # 3x3 pdf matrix for MIS (reference :1312-1325)
+    pdf_matrix: List[List[jnp.ndarray]] = []
+    for i in range(S):
+        row = []
+        for j, name_j in enumerate(strategies):
+            if j == i:
+                row.append(pdf_list[i])
+            else:
+                row.append(
+                    stop_grad(
+                        pdf_fn_for(name_j)(wi_list[i], normal_s, viewdirs_s, rough_s, lgt_s)
+                    )
+                )
+        pdf_matrix.append(row)
+
+    # ---- secondary-ray visibility (no grad through the tracer) -----------
+    hit_list: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = []
+    if shadow is not None:
+        assert points is not None and scene is not None
+        pts_flat = stop_grad(points)
+        trace_training = training and diff_geo  # min-SDF fallback only matters for soft vis
+
+        def trace_one(args):
+            wi, k = args
+            lp, hm, ds = scene.trace(pts_flat, wi, k, trace_training)
+            return stop_grad(lp), hm, stop_grad(ds)
+
+        trace_keys = jax.random.split(keys[S], S)
+        if speed_first:
+            all_pts = jnp.tile(pts_flat, (S, 1))
+            all_dirs = jnp.concatenate(wi_list, axis=0)
+            lp, hm, ds = scene.trace(all_pts, all_dirs, trace_keys[0], trace_training)
+            lp, ds = stop_grad(lp), stop_grad(ds)
+            for i in range(S):
+                hit_list.append(
+                    (lp[i * N : (i + 1) * N], hm[i * N : (i + 1) * N, None], ds[i * N : (i + 1) * N, None])
+                )
+        else:
+            stacked = jax.lax.map(
+                trace_one, (jnp.stack(wi_list), trace_keys)
+            )
+            for i in range(S):
+                hit_list.append((stacked[0][i], stacked[1][i][:, None], stacked[2][i][:, None]))
+
+        if sphere_fallback:
+            # miss rays: push the "hit" point to the far bounding sphere
+            # (reference :962-969) so soft visibility saturates to 1 there
+            new_hits = []
+            for i in range(S):
+                lp, hm, ds = hit_list[i]
+                si, _ = get_sphere_intersection(
+                    pts_flat, wi_list[i][:, None, :], r=scene.bounding_sphere
+                )
+                far = si.max(axis=2)[:, 0]  # [N]
+                sphere_pts = pts_flat + far[:, None] * wi_list[i]
+                lp = jnp.where(hm, lp, sphere_pts)
+                new_hits.append((lp, hm, ds))
+            hit_list = new_hits
+
+    # ---- visibility + indirect radiance ----------------------------------
+    visible_list: List[Optional[jnp.ndarray]] = []
+    indirect_list: List[Optional[jnp.ndarray]] = []
+    for i in range(S):
+        if shadow is None:
+            visible_list.append(None)
+            indirect_list.append(None)
+        elif shadow == "hard":
+            visible_list.append(1.0 - hit_list[i][1].astype(jnp.float32))
+            indirect_list.append(None)
+        elif shadow == "soft":
+            # differentiable soft visibility, no indirect (reference :973-986)
+            sdf_value = jax.nn.relu(scene.implicit(hit_list[i][0])[:, 0:1])
+            vis = 1 - jnp.log(1 + jnp.exp(-50.0 * sdf_value)) / np.log(2.0)
+            visible_list.append(vis)
+            indirect_list.append(None)
+        elif shadow == "indirect":
+            lp, hm, ds = hit_list[i]
+            vis, ind = visibility_and_indirect(
+                scene, lp, hm, ds, wi_list[i], stop_grad(points), diff_geo
+            )
+            visible_list.append(vis)
+            indirect_list.append(ind)
+        else:
+            raise ValueError(shadow)
+
+    # ---- shading (differentiable in light + materials) --------------------
+    specular_final = 0.0
+    diffuse_final = 0.0
+    for i in range(S):
+        wi = wi_list[i]
+        pdf = pdf_list[i]
+
+        if light_type == "sg":
+            light = sampling.sg_light_eval(wi, lgtSGs)  # [N,3], grads flow to lgtSGs
+        else:
+            light = sampling.envmap_lookup(wi, lgtSGs)
+
+        if visible_list[i] is not None:
+            if indirect_list[i] is not None:
+                light = light * visible_list[i] + (1 - visible_list[i]) * indirect_list[i]
+            else:
+                light = light * visible_list[i]
+
+        if roughness.ndim == 2 and roughness.shape[0] not in (N, 1) and not blend_materials:
+            # K>1 global materials without blending: sum over K (reference :628-682)
+            fs = ggx_brdf_direct(
+                wi[:, None, :], normal[:, None, :], viewdirs[:, None, :],
+                roughness[None, :, :], specular_reflectance[None, :, :],
+            ).sum(-2)
+        else:
+            fs = ggx_brdf_direct(wi, normal, viewdirs, roughness, specular_reflectance)
+
+        weight = sampling.power_heuristic_list([1] * S, pdf_matrix[i], i)
+        w_i_dot_n = jnp.clip(jnp.sum(wi * normal, -1, keepdims=True), 0.0)
+
+        spec = jnp.clip(weight * light * fs * w_i_dot_n / pdf, 0.0)
+        diff = jnp.clip(
+            weight * light * (diffuse_albedo / np.pi) * w_i_dot_n / pdf, 0.0
+        )
+        specular_final = specular_final + spec
+        diffuse_final = diffuse_final + diff
+
+    if diffuse_rgb is not None:
+        diffuse_final = diffuse_rgb
+
+    ret = {
+        "sg_rgb": specular_final + diffuse_final,
+        "sg_specular_rgb": specular_final,
+        "sg_diffuse_rgb": diffuse_final,
+        "sg_diffuse_albedo": diffuse_albedo,
+    }
+    if shadow is not None:
+        ret["secondary_points"] = jnp.stack([h[0] for h in hit_list], 0)   # [S,N,3]
+        ret["secondary_mask"] = jnp.stack([h[1] for h in hit_list], 0)     # [S,N,1]
+        ret["secondary_dir"] = jnp.stack(wi_list, 0)                       # [S,N,3]
+    return ret
+
+
+# ---------------------------------------------------------------------------
+# reference-named variants (dispatch parity with
+# implicit_differentiable_renderer.py:721-759)
+# ---------------------------------------------------------------------------
+
+def pt_render(key, lgtSGs, specular_reflectance, roughness, diffuse_albedo,
+              normal, viewdirs, points=None, scene=None, blending_weights=None,
+              diffuse_rgb=None, training=False):
+    """cos+BRDF MIS, no shadows (reference :557-711)."""
+    return pt_render_core(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, strategies=("cos", "brdf"), shadow=None,
+        blending_weights=blending_weights, diffuse_rgb=diffuse_rgb,
+        training=training,
+    )
+
+
+def pt_render_shadow(key, lgtSGs, specular_reflectance, roughness, diffuse_albedo,
+                     normal, viewdirs, points, scene, blending_weights=None,
+                     diffuse_rgb=None, training=False):
+    """+ hard visibility by tracing secondary rays (reference :714-874)."""
+    return pt_render_core(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, points, scene, strategies=("cos", "brdf", "mix_sg"),
+        shadow="hard", blending_weights=blending_weights,
+        diffuse_rgb=diffuse_rgb, training=training,
+    )
+
+
+def pt_render_diff_shadow(key, lgtSGs, specular_reflectance, roughness,
+                          diffuse_albedo, normal, viewdirs, points, scene,
+                          blending_weights=None, diffuse_rgb=None, training=False):
+    """+ differentiable soft visibility (reference :877-1065)."""
+    return pt_render_core(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, points, scene, strategies=("cos", "brdf", "mix_sg"),
+        shadow="soft", diff_geo=True, sphere_fallback=True,
+        blending_weights=blending_weights, diffuse_rgb=diffuse_rgb,
+        training=training,
+    )
+
+
+def pt_render_diff_shadow_indirect(key, lgtSGs, specular_reflectance, roughness,
+                                   diffuse_albedo, normal, viewdirs, points, scene,
+                                   blending_weights=None, diffuse_rgb=None,
+                                   training=False):
+    """+ indirect light from the radiance cache (reference :1068-1252)."""
+    return pt_render_core(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, points, scene, strategies=("cos", "brdf", "mix_sg"),
+        shadow="indirect", diff_geo=True, sphere_fallback=True,
+        blending_weights=blending_weights, diffuse_rgb=diffuse_rgb,
+        training=training,
+    )
+
+
+def pt_render_diff_shadow_indirect_mlp(key, lgtSGs, specular_reflectance, roughness,
+                                       diffuse_albedo, normal, viewdirs, points,
+                                       scene, blending_weights=None,
+                                       diffuse_rgb=None, diff_geo=True,
+                                       speed_first=True, training=False):
+    """MLP materials + 3-strategy MIS + indirect (reference :1265-1487)."""
+    return pt_render_core(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, points, scene, strategies=("cos", "brdf", "mix_sg"),
+        shadow="indirect", diff_geo=diff_geo, sphere_fallback=False,
+        blending_weights=blending_weights, diffuse_rgb=diffuse_rgb,
+        speed_first=speed_first, training=training,
+    )
+
+
+def pt_render_indirect_mlp(key, lgtSGs, specular_reflectance, roughness,
+                           diffuse_albedo, normal, viewdirs, points, scene,
+                           blending_weights=None, diffuse_rgb=None, training=False):
+    """The default NeFII config path (reference :1255-1257): diff_geo=False."""
+    return pt_render_diff_shadow_indirect_mlp(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, points, scene, blending_weights, diffuse_rgb,
+        diff_geo=False, speed_first=True, training=training,
+    )
+
+
+def pt_render_indirect_mlp_memsave(key, lgtSGs, specular_reflectance, roughness,
+                                   diffuse_albedo, normal, viewdirs, points, scene,
+                                   blending_weights=None, diffuse_rgb=None,
+                                   training=False):
+    return pt_render_diff_shadow_indirect_mlp(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, points, scene, blending_weights, diffuse_rgb,
+        diff_geo=False, speed_first=False, training=training,
+    )
+
+
+def pt_render_shadow_indirect_mlp_envmap(key, lgtSGs, specular_reflectance,
+                                         roughness, diffuse_albedo, normal,
+                                         viewdirs, points, scene,
+                                         blending_weights=None, diffuse_rgb=None,
+                                         speed_first=True, training=False):
+    """2D constant-envmap light variant (reference :1496-1733)."""
+    return pt_render_core(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, points, scene, strategies=("cos", "brdf", "env2d"),
+        shadow="indirect", diff_geo=False, sphere_fallback=False,
+        light_type="constant", blending_weights=blending_weights,
+        diffuse_rgb=diffuse_rgb, speed_first=speed_first, training=training,
+    )
+
+
+def pt_render_shadow_indirect_mlp_envmap_memsave(key, lgtSGs, specular_reflectance,
+                                                 roughness, diffuse_albedo, normal,
+                                                 viewdirs, points, scene,
+                                                 blending_weights=None,
+                                                 diffuse_rgb=None, training=False):
+    return pt_render_shadow_indirect_mlp_envmap(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, points, scene, blending_weights, diffuse_rgb,
+        speed_first=False, training=training,
+    )
+
+
+def pt_render_diff_shadow_indirect_blend(key, lgtSGs, specular_reflectance,
+                                         roughness, diffuse_albedo, normal,
+                                         viewdirs, points, scene,
+                                         blending_weights=None, diffuse_rgb=None,
+                                         training=False):
+    """K>1 base materials blended before sampling (reference :1736-1924)."""
+    return pt_render_core(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, points, scene, strategies=("cos", "brdf", "mix_sg"),
+        shadow="indirect", diff_geo=True, sphere_fallback=True,
+        blending_weights=blending_weights, blend_materials=True,
+        diffuse_rgb=diffuse_rgb, training=training,
+    )
+
+
+def pt_render_diff_shadow2_indirect_blend(key, lgtSGs, specular_reflectance,
+                                          roughness, diffuse_albedo, normal,
+                                          viewdirs, points, scene,
+                                          blending_weights=None, diffuse_rgb=None,
+                                          training=False):
+    """Blend variant without the sphere fallback (reference :1927-2106)."""
+    return pt_render_core(
+        key, lgtSGs, specular_reflectance, roughness, diffuse_albedo, normal,
+        viewdirs, points, scene, strategies=("cos", "brdf", "mix_sg"),
+        shadow="indirect", diff_geo=True, sphere_fallback=False,
+        blending_weights=blending_weights, blend_materials=True,
+        diffuse_rgb=diffuse_rgb, training=training,
+    )
+
+
+def pt_render_with_sg(key, lgtSGs, specular_reflectance, roughness,
+                      diffuse_albedo, normal, viewdirs, blending_weights=None,
+                      diffuse_rgb=None, training=False):
+    """Early prototype: 1 uniform-hemisphere sample through the warped-SG BRDF
+    (reference :416-554)."""
+    N = normal.shape[0]
+    K = specular_reflectance.shape[0]
+    wi = stop_grad(sampling.uniform_hemisphere_sampling(key, stop_grad(normal)))
+
+    light = sampling.sg_light_eval(wi, lgtSGs)  # [N,3]
+
+    # warped-SG BRDF evaluated at wi (K-lobe sum)
+    normal_k = normal[:, None, :]
+    viewdirs_k = viewdirs[:, None, :]
+    wi_k = wi[:, None, :]
+
+    inv_r4 = 1.0 / (roughness**4)  # [K,1]
+    brdf_lambdas = 2.0 * inv_r4[None, :, :]  # [1,K,1]
+    brdf_mus = jnp.broadcast_to(inv_r4 / np.pi, (K, 3))[None]  # [1,K,3]
+
+    v_dot_lobe = jnp.clip(jnp.sum(normal_k * viewdirs_k, -1, keepdims=True), 0.0)
+    warp_lobes = 2 * v_dot_lobe * normal_k - viewdirs_k
+    warp_lobes = warp_lobes / (jnp.linalg.norm(warp_lobes, axis=-1, keepdims=True) + TINY_NUMBER)
+    warp_lambdas = brdf_lambdas / (4 * v_dot_lobe + TINY_NUMBER)
+
+    new_half = wi_k + viewdirs_k
+    new_half = new_half / (jnp.linalg.norm(new_half, axis=-1, keepdims=True) + TINY_NUMBER)
+    v_dot_h = jnp.clip(jnp.sum(viewdirs_k * new_half, -1, keepdims=True), 0.0)
+    F = specular_reflectance[None] + (1.0 - specular_reflectance[None]) * jnp.power(
+        2.0, -(5.55473 * v_dot_h + 6.8316) * v_dot_h
+    )
+    dot1 = jnp.clip(jnp.sum(wi_k * normal_k, -1, keepdims=True), 0.0)
+    dot2 = jnp.clip(jnp.sum(viewdirs_k * normal_k, -1, keepdims=True), 0.0)
+    k_ = (roughness + 1.0) ** 2 / 8.0
+    G = (dot1 / (dot1 * (1 - k_) + k_ + TINY_NUMBER)) * (
+        dot2 / (dot2 * (1 - k_) + k_ + TINY_NUMBER)
+    )
+    Moi = F * G / (4 * dot1 * dot2 + TINY_NUMBER)
+    fs = (Moi * brdf_mus) * jnp.exp(
+        warp_lambdas * (jnp.sum(wi_k * warp_lobes, -1, keepdims=True) - 1.0)
+    )
+    fs = fs[:, 0, :]  # K=1
+
+    w_i_dot_n = jnp.clip(jnp.sum(wi * normal, -1, keepdims=True), 0.0)
+    specular_rgb = jnp.clip(2 * np.pi * light * fs * w_i_dot_n, 0.0)
+    if diffuse_rgb is None:
+        diffuse_rgb = jnp.clip(2 * np.pi * light * (diffuse_albedo / np.pi) * w_i_dot_n, 0.0)
+    return {
+        "sg_rgb": specular_rgb + diffuse_rgb,
+        "sg_specular_rgb": specular_rgb,
+        "sg_diffuse_rgb": diffuse_rgb,
+        "sg_diffuse_albedo": diffuse_albedo,
+    }

@@ -1,0 +1,157 @@
+"""Sphere tracer tests against analytic SDFs with closed-form intersections."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nefii_tpu.models.sample_network import sample_network
+from nefii_tpu.ops.ray_tracing import RayTracer
+
+
+def sphere_sdf(r=0.5):
+    return lambda x: jnp.linalg.norm(x, axis=-1) - r
+
+
+def box_sdf(half=0.4):
+    def f(x):
+        q = jnp.abs(x) - half
+        outside = jnp.linalg.norm(jnp.clip(q, 0.0), axis=-1)
+        inside = jnp.clip(jnp.max(q, axis=-1), None, 0.0)
+        return outside + inside
+
+    return f
+
+
+def _camera_rays(n_side=8, eye=(0.0, 0.0, -3.0), spread=0.25):
+    """Grid of rays from `eye` roughly toward the origin."""
+    eye = np.array(eye, dtype=np.float32)
+    xs = np.linspace(-spread, spread, n_side)
+    ys = np.linspace(-spread, spread, n_side)
+    dirs = []
+    for y in ys:
+        for x in xs:
+            d = np.array([x, y, 0.0]) - eye
+            dirs.append(d / np.linalg.norm(d))
+    dirs = np.stack(dirs)[None]  # [1, S, 3]
+    return jnp.asarray(eye[None]), jnp.asarray(dirs.astype(np.float32))
+
+
+def _closed_form_sphere_hit(eye, dirs, r):
+    """t for ray o + t d hitting |x| = r (np, per ray; nan if miss)."""
+    o = np.asarray(eye)[0]
+    d = np.asarray(dirs)[0]
+    b = d @ o
+    c = o @ o - r * r
+    disc = b * b - c
+    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    t[disc <= 0] = np.nan
+    return t
+
+
+def test_trace_sphere_matches_closed_form():
+    tracer = RayTracer(sphere_tracing_iters=10, n_steps=100, n_rootfind_steps=32)
+    cam, dirs = _camera_rays(n_side=8, spread=0.6)
+    S = dirs.shape[1]
+    obj_mask = jnp.ones((S,), bool)
+    res = tracer(sphere_sdf(0.5), cam, obj_mask, dirs)
+
+    t_ref = _closed_form_sphere_hit(cam, dirs, 0.5)
+    hit_ref = ~np.isnan(t_ref)
+    hit = np.asarray(res.object_mask)
+    # allow disagreement only for extreme grazing rays
+    grazing = np.abs(np.nan_to_num(t_ref, nan=0.0)) * 0
+    agree = hit == hit_ref
+    assert agree.mean() > 0.95, f"hit mask agreement {agree.mean()}"
+    m = hit & hit_ref
+    np.testing.assert_allclose(np.asarray(res.dists)[m], t_ref[m], atol=2e-3)
+    # surface points actually on the sphere
+    pts = np.asarray(res.points)[m]
+    np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 0.5, atol=2e-3)
+
+
+def test_trace_box():
+    tracer = RayTracer(sphere_tracing_iters=10, n_steps=100, n_rootfind_steps=32)
+    cam, dirs = _camera_rays(n_side=6, spread=0.3)
+    S = dirs.shape[1]
+    res = tracer(box_sdf(0.4), cam, jnp.ones((S,), bool), dirs)
+    hit = np.asarray(res.object_mask)
+    assert hit.all()  # all rays point at the box face
+    pts = np.asarray(res.points)[hit]
+    # front face of the box is z = -0.4
+    np.testing.assert_allclose(pts[:, 2], -0.4, atol=2e-3)
+
+
+def test_trace_miss_rays():
+    tracer = RayTracer()
+    cam = jnp.array([[0.0, 0.0, -3.0]])
+    dirs = jnp.array([[[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]])  # miss, hit
+    res = tracer(sphere_sdf(0.5), cam, jnp.ones((2,), bool), dirs)
+    hit = np.asarray(res.object_mask)
+    assert not hit[0] and hit[1]
+    np.testing.assert_allclose(float(res.dists[1]), 2.5, atol=2e-3)
+
+
+def test_trace_training_mode_minsdf_points():
+    tracer = RayTracer()
+    cam = jnp.array([[0.0, 0.0, -3.0]])
+    # near-miss ray passing above the sphere, object_mask=True (mask conflict)
+    d = np.array([0.0, 0.62, 3.0])
+    d = d / np.linalg.norm(d)
+    dirs = jnp.asarray(d, jnp.float32)[None, None]
+    res = tracer(
+        sphere_sdf(0.5), cam, jnp.ones((1,), bool), dirs,
+        key=jax.random.PRNGKey(0), training=True,
+    )
+    assert not bool(res.object_mask[0])
+    # min-sdf point should be near the closest approach to the sphere
+    p = np.asarray(res.points[0])
+    closest_t = -float(jnp.dot(dirs[0, 0], cam[0]))
+    p_ref = np.asarray(cam[0] + closest_t * dirs[0, 0])
+    assert np.linalg.norm(p - p_ref) < 0.1, (p, p_ref)
+
+
+def test_trace_jit_and_budget_consistency():
+    cam, dirs = _camera_rays(n_side=4, spread=0.8)  # some rays miss
+    S = dirs.shape[1]
+    obj = jnp.ones((S,), bool)
+
+    dense = RayTracer()
+    budget = RayTracer(sampler_budget=S, minsdf_budget=S)  # full budget == dense
+
+    f_dense = jax.jit(lambda c, d: dense(sphere_sdf(0.5), c, obj, d))
+    f_budget = jax.jit(lambda c, d: budget(sphere_sdf(0.5), c, obj, d))
+    r1 = f_dense(cam, dirs)
+    r2 = f_budget(cam, dirs)
+    np.testing.assert_allclose(np.asarray(r1.dists), np.asarray(r2.dists), atol=1e-6)
+    assert (np.asarray(r1.object_mask) == np.asarray(r2.object_mask)).all()
+
+    # small budget: hits must still be identical for converged rays
+    small = RayTracer(sampler_budget=4, minsdf_budget=4)
+    r3 = jax.jit(lambda c, d: small(sphere_sdf(0.5), c, obj, d))(cam, dirs)
+    conv = np.asarray(r1.object_mask)
+    np.testing.assert_allclose(
+        np.asarray(r3.dists)[conv], np.asarray(r1.dists)[conv], atol=1e-3
+    )
+
+
+def test_sample_network_gradient_implicit_function_theorem():
+    """d(hit point)/d(radius) through sample_network == analytic value."""
+    cam = jnp.array([0.0, 0.0, -3.0])
+    v = jnp.array([0.0, 0.0, 1.0])
+
+    def hit_point(r):
+        sdf = lambda x: jnp.linalg.norm(x, axis=-1, keepdims=True) - r
+        t0 = 3.0 - jax.lax.stop_gradient(r)  # traced dist (no grad, like the tracer)
+        x0 = cam + t0 * v
+        surface_output = sdf(x0[None])  # differentiable in r
+        surface_sdf_det = jax.lax.stop_gradient(surface_output)
+        grad = jax.lax.stop_gradient(x0 / jnp.linalg.norm(x0))[None]
+        pt = sample_network(
+            surface_output, surface_sdf_det, grad,
+            jnp.array([[t0]]), cam[None], v[None],
+        )
+        return pt[0]
+
+    jac = jax.jacobian(hit_point)(jnp.float32(0.5))
+    # increasing r moves the hit point toward the camera: d x_z / d r = -1
+    np.testing.assert_allclose(np.asarray(jac), [0.0, 0.0, -1.0], atol=1e-4)
