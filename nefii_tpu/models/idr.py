@@ -1,0 +1,522 @@
+"""IDRNetwork — the composite forward pipeline.
+
+TPU-native equivalent of the reference IDRNetwork
+(model/implicit_differentiable_renderer.py:244-759): owns the five submodules
+(implicit SDF net, IDR radiance net, envmap/material net, ray tracer, sample
+network), the full per-pixel pipeline `forward_with_uv` (:312-501), the
+secondary-point pipeline `forward_with_point` (:503-527), shading dispatch
+`get_rbg_value` (:529-599), multi-ray-per-pixel reduction (:695-719), SG
+background for miss rays (:646-692), and the 13-way render_type dispatch
+(:721-759).
+
+Differences by design (SURVEY.md §7.1):
+  * Fixed shapes everywhere: instead of gathering `points[surface_mask]`,
+    ALL rays are shaded and outputs are masked — the miss-shading cost is
+    bounded and keeps XLA happy.
+  * Params are an explicit pytree {implicit_network, rendering_network,
+    envmap_material_network}; freeze semantics live in the optimizer masks
+    and in the `freeze_geo` static flag (which controls the stop-gradient /
+    second-order-AD boundary exactly like the reference's
+    `state_freeze_geo`, :264-304).
+  * Randomness (pixel jitter, MC sampling, eikonal points) is an explicit
+    PRNG key threaded through `forward`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nefii_tpu.models.implicit import ImplicitNetwork
+from nefii_tpu.models.material import EnvmapMaterialNetwork
+from nefii_tpu.models.rendering import RenderingNetwork
+from nefii_tpu.models.sample_network import sample_network
+from nefii_tpu.ops import path_tracing as ptr
+from nefii_tpu.ops import sampling
+from nefii_tpu.ops.ray_tracing import RayTracer
+from nefii_tpu.ops.sg import render_with_sg
+from nefii_tpu.utils.camera import get_camera_params
+
+stop_grad = jax.lax.stop_gradient
+
+PT_RENDER_TYPES = {
+    "path_tracing_sg": dict(),
+    "path_tracing": dict(strategies=("cos", "brdf"), shadow=None),
+    "path_tracing_shadow": dict(strategies=("cos", "brdf", "mix_sg"), shadow="hard"),
+    "path_tracing_diff_shadow": dict(
+        strategies=("cos", "brdf", "mix_sg"), shadow="soft", diff_geo=True,
+        sphere_fallback=True,
+    ),
+    "pt_render_diff_shadow_indirect": dict(
+        strategies=("cos", "brdf", "mix_sg"), shadow="indirect", diff_geo=True,
+        sphere_fallback=True,
+    ),
+    "pt_render_diff_shadow_indirect_mlp": dict(
+        strategies=("cos", "brdf", "mix_sg"), shadow="indirect", diff_geo=True,
+    ),
+    "pt_render_indirect_mlp": dict(
+        strategies=("cos", "brdf", "mix_sg"), shadow="indirect", diff_geo=False,
+    ),
+    "pt_render_indirect_mlp_memsave": dict(
+        strategies=("cos", "brdf", "mix_sg"), shadow="indirect", diff_geo=False,
+        speed_first=False,
+    ),
+    "pt_render_shadow_indirect_mlp_envmap": dict(
+        strategies=("cos", "brdf", "env2d"), shadow="indirect", diff_geo=False,
+        light_type="constant",
+    ),
+    "pt_render_shadow_indirect_mlp_envmap_memsave": dict(
+        strategies=("cos", "brdf", "env2d"), shadow="indirect", diff_geo=False,
+        light_type="constant", speed_first=False,
+    ),
+    "pt_render_diff_shadow_indirect_blend": dict(
+        strategies=("cos", "brdf", "mix_sg"), shadow="indirect", diff_geo=True,
+        sphere_fallback=True, blend_materials=True,
+    ),
+    "pt_render_diff_shadow2_indirect_blend": dict(
+        strategies=("cos", "brdf", "mix_sg"), shadow="indirect", diff_geo=True,
+        blend_materials=True,
+    ),
+}
+
+
+@dataclass(frozen=True)
+class IDRNetwork:
+    feature_vector_size: int
+    implicit_network: ImplicitNetwork
+    rendering_network: RenderingNetwork
+    envmap_material_network: EnvmapMaterialNetwork
+    ray_tracer: RayTracer
+    object_bounding_sphere: float = 1.0
+    render_type: str = "sg"
+    fast_multi_ray: bool = False
+    render_background: bool = False
+    correct_normal: bool = False
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_conf(cls, conf) -> "IDRNetwork":
+        """Build from a reference-schema `model{...}` config section."""
+        fvs = conf.get_int("feature_vector_size")
+        correct_normal = conf.get_bool("correct_normal", default=False)
+        implicit = ImplicitNetwork(
+            feature_vector_size=fvs, **conf.get_config("implicit_network").as_plain_dict()
+        )
+        rendering = RenderingNetwork(
+            feature_vector_size=fvs, **conf.get_config("rendering_network").as_plain_dict()
+        )
+        material = EnvmapMaterialNetwork(
+            correct_normal=correct_normal,
+            feature_vector_size=fvs,
+            **conf.get_config("envmap_material_network").as_plain_dict(),
+        )
+        tracer = RayTracer(**conf.get_config("ray_tracer").as_plain_dict())
+        return cls(
+            feature_vector_size=fvs,
+            implicit_network=implicit,
+            rendering_network=rendering,
+            envmap_material_network=material,
+            ray_tracer=tracer,
+            object_bounding_sphere=conf.get_float("ray_tracer.object_bounding_sphere"),
+            render_type=conf.get_string("render_type", default="sg"),
+            fast_multi_ray=conf.get_bool("fast_multi_ray", default=False),
+            render_background=conf.get_bool("render_background", default=False),
+            correct_normal=correct_normal,
+        )
+
+    def init_params(self, key: jax.Array) -> Dict[str, Any]:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "implicit_network": self.implicit_network.init_params(k1),
+            "rendering_network": self.rendering_network.init_params(k2),
+            "envmap_material_network": self.envmap_material_network.init_params(k3),
+        }
+
+    # ------------------------------------------------------------------
+    def scene_fns(self, params: Dict[str, Any]) -> ptr.SceneFns:
+        """Closures over params for the path tracer's model callbacks."""
+        imp = self.implicit_network
+        rend = self.rendering_network
+        p_imp = params["implicit_network"]
+        p_rend = params["rendering_network"]
+
+        def trace(origins, dirs, key, training):
+            res = self.ray_tracer(
+                lambda x: imp.sdf(p_imp, x),
+                origins,
+                jnp.ones((origins.shape[0],), bool),
+                dirs[:, None, :],
+                key=key,
+                training=training,
+            )
+            return res.points, res.object_mask, res.dists
+
+        return ptr.SceneFns(
+            trace=trace,
+            implicit=lambda pts: imp(p_imp, pts),
+            implicit_grad=lambda pts: imp.gradient(p_imp, pts),
+            radiance=lambda pts, n, v, f: rend(p_rend, pts, n, v, f),
+            feature_size=self.feature_vector_size,
+            bounding_sphere=self.object_bounding_sphere,
+        )
+
+    # ------------------------------------------------------------------
+    def forward(
+        self,
+        params: Dict[str, Any],
+        inputs: Dict[str, jnp.ndarray],
+        key: jax.Array,
+        *,
+        training: bool = False,
+        freeze_geo: bool = False,
+        fake_roughness: bool = False,
+        fake_specular: bool = False,
+        with_point: bool = False,
+    ) -> Dict[str, Optional[jnp.ndarray]]:
+        if with_point:
+            return self.forward_with_point(
+                params, inputs, key,
+                fake_roughness=fake_roughness, fake_specular=fake_specular,
+            )
+        return self.forward_with_uv(
+            params, inputs, key, training=training, freeze_geo=freeze_geo,
+            fake_roughness=fake_roughness, fake_specular=fake_specular,
+        )
+
+    __call__ = forward
+
+    # ------------------------------------------------------------------
+    def forward_with_uv(
+        self, params, inputs, key, *, training=False, freeze_geo=False,
+        fake_roughness=False, fake_specular=False,
+    ):
+        intrinsics = inputs["intrinsics"]
+        uv = inputs["uv"]
+        pose = inputs["pose"]
+        object_mask = inputs["object_mask"].reshape(-1)
+
+        multi_ray = uv.ndim == 4
+        R = 1
+        if multi_ray:
+            B, S, R, D = uv.shape
+            if not self.fast_multi_ray:
+                uv = uv.reshape(B, S * R, D)
+                object_mask = jnp.broadcast_to(
+                    object_mask.reshape(B, S, 1), (B, S, R)
+                ).reshape(-1)
+            else:
+                uv = uv.mean(axis=2)
+
+        ray_dirs, cam_loc = get_camera_params(uv, pose, intrinsics)
+        batch_size, num_pixels, _ = ray_dirs.shape
+        N = batch_size * num_pixels
+
+        imp = self.implicit_network
+        p_imp = params["implicit_network"]
+
+        k_trace, k_eik, k_render = jax.random.split(key, 3)
+
+        # trace (no gradients through the tracer — reference :344-350)
+        trace_res = self.ray_tracer(
+            lambda x: stop_grad(imp.sdf(p_imp, x)),
+            stop_grad(cam_loc),
+            object_mask,
+            stop_grad(ray_dirs),
+            key=k_trace,
+            training=training,
+        )
+        points = stop_grad(trace_res.points)
+        network_object_mask = trace_res.object_mask
+        dists = stop_grad(trace_res.dists)
+
+        sdf_output = imp(p_imp, points)[:, 0:1]
+        ray_dirs_flat = ray_dirs.reshape(-1, 3)
+        cam_flat = jnp.broadcast_to(
+            cam_loc[:, None, :], (batch_size, num_pixels, 3)
+        ).reshape(-1, 3)
+
+        grad_theta = None
+        if training and not freeze_geo:
+            surface_mask = network_object_mask & object_mask
+            # eikonal sample points: uniform in the bounding box + pixel points
+            n_eik = N // 2
+            eik_pts = jax.random.uniform(
+                k_eik, (n_eik, 3),
+                minval=-self.object_bounding_sphere,
+                maxval=self.object_bounding_sphere,
+            )
+            eik_all = jnp.concatenate([eik_pts, stop_grad(points)], axis=0)
+            grad_theta = imp.gradient(p_imp, eik_all)
+
+            surface_grad = stop_grad(imp.gradient(p_imp, points))
+            differentiable_points = sample_network(
+                sdf_output,
+                stop_grad(sdf_output),
+                surface_grad,
+                dists[:, None],
+                cam_flat,
+                ray_dirs_flat,
+            )
+        else:
+            surface_mask = network_object_mask
+            differentiable_points = points
+
+        view_dirs = -ray_dirs_flat
+        ret = self.get_rbg_value(
+            params, differentiable_points, view_dirs, k_render,
+            multi_ray_R=(R if (multi_ray and self.fast_multi_ray) else None),
+            training=training, freeze_geo=freeze_geo,
+            fake_roughness=fake_roughness, fake_specular=fake_specular,
+        )
+
+        if multi_ray and self.fast_multi_ray:
+            # shaded quantities come back at N*R; reduce to N per-pixel means
+            for k in (
+                "idr_rgb", "sg_rgb", "sg_specular_rgb", "sg_diffuse_rgb",
+                "sg_diffuse_albedo",
+            ):
+                ret[k] = self.mean_pixel(ret[k], N, R)
+            if self.envmap_material_network.roughness_mlp:
+                ret["sg_roughness"] = self.mean_pixel(ret["sg_roughness"], N, R)
+            if self.envmap_material_network.specular_mlp and not self.envmap_material_network.fix_specular_albedo:
+                ret["sg_specular_reflectance"] = self.mean_pixel(
+                    ret["sg_specular_reflectance"], N, R
+                )
+            if ret.get("sg_blending_weights") is not None:
+                ret["sg_blending_weights"] = self.mean_pixel(
+                    ret["sg_blending_weights"], N, R
+                )
+
+        # mask: non-surface pixels get the defaults (ones/zeros, :400-407)
+        m = surface_mask[:, None]
+        idr_rgb_values = jnp.where(m, ret["idr_rgb"], 1.0)
+        sg_rgb_values = jnp.where(m, ret["sg_rgb"], 1.0)
+        normal_values = jnp.where(m, ret["normals"], 1.0)
+        sg_diffuse_rgb_values = jnp.where(m, ret["sg_diffuse_rgb"], 1.0)
+        sg_diffuse_albedo_values = jnp.where(m, ret["sg_diffuse_albedo"], 1.0)
+        sg_specular_rgb_values = jnp.where(m, ret["sg_specular_rgb"], 0.0)
+
+        sg_roughness = ret["sg_roughness"]
+        sg_blend = ret.get("sg_blending_weights")
+        if not self.envmap_material_network.roughness_mlp:
+            if sg_blend is not None:
+                sg_roughness = (sg_roughness[None] * sg_blend[..., None]).sum(-2)
+            else:
+                sg_roughness = jnp.broadcast_to(sg_roughness[0][None, :], (m.shape[0], 1))
+        sg_roughness_values = jnp.where(m, sg_roughness, 0.0)
+
+        sg_spec = ret["sg_specular_reflectance"]
+        if not self.envmap_material_network.specular_mlp or self.envmap_material_network.fix_specular_albedo:
+            if sg_blend is not None and not self.envmap_material_network.fix_specular_albedo:
+                sg_spec = (sg_spec[None] * sg_blend[..., None]).sum(-2)
+            else:
+                sg_spec = jnp.broadcast_to(sg_spec[0][None, :], (m.shape[0], 3))
+        sg_specular_reflection_values = jnp.where(m, sg_spec, 0.0)
+
+        if self.render_background:
+            bg_mask = ~surface_mask
+            bg_rgb = self.get_background_rgb(params, ray_dirs_flat)
+            sg_rgb_values = jnp.where(bg_mask[:, None], bg_rgb, sg_rgb_values)
+
+        output = {
+            "points": points,
+            "idr_rgb_values": idr_rgb_values,
+            "sg_rgb_values": sg_rgb_values,
+            "normal_values": normal_values,
+            "sdf_output": sdf_output,
+            "network_object_mask": network_object_mask,
+            "object_mask": object_mask,
+            "grad_theta": grad_theta,
+            "sg_diffuse_rgb_values": sg_diffuse_rgb_values,
+            "sg_diffuse_albedo_values": sg_diffuse_albedo_values,
+            "sg_specular_rgb_values": sg_specular_rgb_values,
+            "sg_roughness_values": sg_roughness_values,
+            "sg_specular_reflection_values": sg_specular_reflection_values,
+            "secondary_points": ret.get("secondary_points"),
+            "secondary_mask": ret.get("secondary_mask"),
+            "secondary_dir": ret.get("secondary_dir"),
+        }
+
+        if multi_ray and not self.fast_multi_ray:
+            BS = (B * S)
+            for k in (
+                "idr_rgb_values", "sg_rgb_values", "network_object_mask",
+                "object_mask", "sg_diffuse_rgb_values", "sg_diffuse_albedo_values",
+                "sg_specular_rgb_values", "sdf_output", "points",
+                "sg_roughness_values", "sg_specular_reflection_values",
+            ):
+                output[k] = self.mean_pixel(output[k], BS, R)
+            output["normal_values"] = self.mean_pixel(
+                output["normal_values"], BS, R, vector=True
+            )
+
+        return output
+
+    # ------------------------------------------------------------------
+    def forward_with_point(
+        self, params, inputs, key, *, fake_roughness=False, fake_specular=False
+    ):
+        """Secondary self-distillation forward (reference :503-527)."""
+        points = inputs["points"]      # [N,R,3]
+        ray_dirs = inputs["ray_dirs"]  # [N,R,3]
+        N, R, _ = points.shape
+        points = points.reshape(-1, 3)
+        ray_dirs = ray_dirs.reshape(-1, 3)
+
+        ret = self.get_rbg_value(
+            params, points, -ray_dirs, key,
+            training=False, freeze_geo=True,
+            fake_roughness=fake_roughness, fake_specular=fake_specular,
+        )
+        return {
+            "idr_rgb_values": self.mean_pixel(ret["idr_rgb"], N, R),
+            "sg_rgb_values": self.mean_pixel(ret["sg_rgb"], N, R),
+        }
+
+    # ------------------------------------------------------------------
+    def get_rbg_value(
+        self, params, points, view_dirs, key, multi_ray_R=None,
+        *, training=False, freeze_geo=False, fake_roughness=False,
+        fake_specular=False,
+    ):
+        """Shading dispatch (reference :529-599). points/view_dirs [N,3]."""
+        imp = self.implicit_network
+        p_imp = params["implicit_network"]
+
+        feature_vectors = None
+        if self.feature_vector_size > 0:
+            feature_vectors = imp(p_imp, points)[:, 1:]
+
+        g = imp.gradient(p_imp, points)
+        if freeze_geo or not training:
+            g = stop_grad(g)
+        normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-6)
+        view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
+
+        if self.correct_normal:
+            normals = self.envmap_material_network.apply_correct_normal(
+                params["envmap_material_network"], normals, points
+            )
+
+        ret = {"normals": normals}
+
+        idr_rgb = self.rendering_network(
+            params["rendering_network"], points, normals, view_dirs, feature_vectors
+        )
+        mat = self.envmap_material_network(
+            params["envmap_material_network"], points, feature_vectors, normals,
+            fake_roughness=fake_roughness, fake_specular=fake_specular,
+        )
+
+        if multi_ray_R is not None:
+            # fast_multi_ray: shade once, broadcast to R jittered MC samples
+            R = multi_ray_R
+            N = idr_rgb.shape[0]
+
+            def rep(x):
+                return jnp.broadcast_to(x[:, None, :], (N, R, x.shape[-1])).reshape(N * R, -1)
+
+            idr_rgb = rep(idr_rgb)
+            points = rep(points)
+            normals = rep(normals)
+            view_dirs = rep(view_dirs)
+            mat["sg_diffuse_albedo"] = rep(mat["sg_diffuse_albedo"])
+            em = self.envmap_material_network
+            if em.specular_mlp and not em.fix_specular_albedo:
+                mat["sg_specular_reflectance"] = rep(mat["sg_specular_reflectance"])
+            if em.roughness_mlp:
+                mat["sg_roughness"] = rep(mat["sg_roughness"])
+            if mat.get("sg_blending_weights") is not None:
+                mat["sg_blending_weights"] = rep(mat["sg_blending_weights"])
+
+        ret["idr_rgb"] = idr_rgb
+
+        if self.render_type == "sg":
+            sg_ret = render_with_sg(
+                mat["sg_lgtSGs"], mat["sg_specular_reflectance"],
+                mat["sg_roughness"], mat["sg_diffuse_albedo"],
+                normals, view_dirs, blending_weights=mat["sg_blending_weights"],
+            )
+        elif self.render_type == "path_tracing_sg":
+            sg_ret = ptr.pt_render_with_sg(
+                key, mat["sg_lgtSGs"], mat["sg_specular_reflectance"],
+                mat["sg_roughness"], mat["sg_diffuse_albedo"], normals,
+                view_dirs, blending_weights=mat["sg_blending_weights"],
+                training=training,
+            )
+        else:
+            opts = PT_RENDER_TYPES[self.render_type]
+            scene = self.scene_fns(params)
+            sg_ret = ptr.pt_render_core(
+                key, mat["sg_lgtSGs"], mat["sg_specular_reflectance"],
+                mat["sg_roughness"], mat["sg_diffuse_albedo"], normals,
+                view_dirs, points, scene,
+                blending_weights=mat["sg_blending_weights"],
+                training=training, **opts,
+            )
+
+        ret.update(sg_ret)
+        ret.update(
+            {
+                "sg_roughness": mat["sg_roughness"],
+                "sg_specular_reflectance": mat["sg_specular_reflectance"],
+                "sg_blending_weights": mat["sg_blending_weights"],
+            }
+        )
+        return ret
+
+    # ------------------------------------------------------------------
+    def get_background_rgb(self, params, light_dir: jnp.ndarray) -> jnp.ndarray:
+        """Envmap radiance along miss rays (reference :646-692)."""
+        em = self.envmap_material_network
+        lgt = em.get_lgtSGs(params["envmap_material_network"])
+        if em.light_type == "sg":
+            return sampling.sg_light_eval(light_dir, lgt)
+        return sampling.envmap_lookup(light_dir, lgt)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def mean_pixel(x: jnp.ndarray, bs: int, r: int, vector: bool = False) -> jnp.ndarray:
+        """Reduce per-ray values [bs*r, ...] to per-pixel [bs, ...] (:695-719)."""
+        no_dim = x.ndim == 1
+        if no_dim:
+            x = x[:, None]
+        d = x.shape[-1]
+        x = x.reshape(bs, r, d)
+        if vector:
+            x = x[:, 0, :]
+        elif x.dtype == jnp.bool_:
+            x = jnp.all(x, axis=1)
+        else:
+            x = jnp.mean(x, axis=1)
+        if no_dim:
+            x = x[:, 0]
+        return x
+
+    # ------------------------------------------------------------------
+    def render_sg_rgb(self, params, mask, normals, view_dirs, diffuse_albedo):
+        """Closed-form SG shading of externally supplied normals/albedo
+        (reference :601-644; used by geometry-stage visualisation)."""
+        normals = normals / (jnp.linalg.norm(normals, axis=-1, keepdims=True) + 1e-6)
+        view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
+        em = self.envmap_material_network
+        p = params["envmap_material_network"]
+        lgt = em.get_lgtSGs(p)
+        roughness, spec = em.get_base_materials(p)
+        sg_ret = render_with_sg(
+            lgt, spec, roughness, diffuse_albedo, normals, view_dirs
+        )
+        m = mask[:, None]
+        return {
+            "sg_rgb_values": jnp.where(m, sg_ret["sg_rgb"], 1.0),
+            "sg_diffuse_rgb_values": jnp.where(m, sg_ret["sg_diffuse_rgb"], 1.0),
+            "sg_diffuse_albedo_values": diffuse_albedo,
+            "sg_specular_rgb_values": jnp.where(m, sg_ret["sg_specular_rgb"], 1.0),
+            "sg_roughness": roughness,
+            "sg_specular_reflectance": spec,
+            "sg_blending_weights": None,
+        }

@@ -1,0 +1,214 @@
+"""End-to-end forward-pipeline tests on a small IDRNetwork."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nefii_tpu.config import parse_string
+from nefii_tpu.models.idr import IDRNetwork
+
+SMALL_CONF = """
+model{
+    render_type = pt_render_indirect_mlp
+    feature_vector_size = 64
+    fast_multi_ray = False
+    render_background = True
+    implicit_network
+    {
+        d_in = 3
+        d_out = 1
+        dims = [ 64, 64, 64, 64 ]
+        geometric_init = True
+        bias = 0.6
+        skip_in = [2]
+        weight_norm = True
+        multires = 4
+        use_last_as_f = True
+    }
+    envmap_material_network
+    {
+        multires = 4
+        dims = [ 64, 64 ]
+        white_specular = True
+        white_light = False
+        num_lgt_sgs = 8
+        num_base_materials = 1
+        upper_hemi = False
+        fix_specular_albedo = True
+        specular_albedo = [0.5, 0.5, 0.5]
+        roughness_mlp = True
+        specular_mlp = True
+        same_mlp = True
+    }
+    rendering_network
+    {
+        mode = idr
+        d_in = 9
+        d_out = 3
+        dims = [ 64, 64 ]
+        weight_norm = True
+        multires_view = 2
+        multires_xyz = 4
+        normalize_output = False
+        clip_output = True
+        clip_method = pow2
+        weight_init = True
+    }
+    ray_tracer
+    {
+        object_bounding_sphere = 1.0
+        sdf_threshold = 5.0e-5
+        line_search_step = 0.5
+        line_step_iters = 1
+        sphere_tracing_iters = 5
+        n_steps = 32
+        n_rootfind_steps = 8
+    }
+}
+"""
+
+
+def _model(render_type=None, fast_multi_ray=None):
+    conf = parse_string(SMALL_CONF).get_config("model")
+    model = IDRNetwork.from_conf(conf)
+    if render_type is not None:
+        object.__setattr__(model, "render_type", render_type)
+    if fast_multi_ray is not None:
+        object.__setattr__(model, "fast_multi_ray", fast_multi_ray)
+    return model
+
+
+def _inputs(B=1, S=12, R=None, W=64):
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 60.0
+    K[0, 2] = K[1, 2] = W / 2
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, -2.0]
+    rng = np.random.RandomState(0)
+    if R is None:
+        uv = rng.uniform(W / 2 - 12, W / 2 + 12, (B, S, 2)).astype(np.float32)
+    else:
+        base = rng.uniform(W / 2 - 12, W / 2 + 12, (B, S, 1, 2))
+        jitter = rng.uniform(-0.5, 0.5, (B, S, R, 2))
+        uv = (base + jitter).astype(np.float32)
+    mask = np.ones((B, S), bool)
+    return {
+        "intrinsics": jnp.asarray(K[None]),
+        "uv": jnp.asarray(uv),
+        "pose": jnp.asarray(pose[None]),
+        "object_mask": jnp.asarray(mask),
+    }
+
+
+KEYS = [
+    "idr_rgb_values", "sg_rgb_values", "normal_values", "sg_diffuse_rgb_values",
+    "sg_diffuse_albedo_values", "sg_specular_rgb_values",
+]
+
+
+def test_forward_eval_shapes_finite():
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = model.forward(params, _inputs(S=12), jax.random.PRNGKey(1))
+    for k in KEYS:
+        assert out[k].shape == (12, 3), k
+        assert bool(jnp.all(jnp.isfinite(out[k]))), k
+    assert out["sg_roughness_values"].shape == (12, 1)
+    assert out["network_object_mask"].shape == (12,)
+    assert out["secondary_points"].shape == (3, 12, 3)
+
+
+def test_forward_training_has_grad_theta_and_backprop():
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    inputs = _inputs(S=8)
+
+    def loss_fn(p):
+        out = model.forward(p, inputs, jax.random.PRNGKey(1), training=True)
+        eik = ((jnp.linalg.norm(out["grad_theta"], axis=-1) - 1) ** 2).mean()
+        return out["sg_rgb_values"].mean() + out["idr_rgb_values"].mean() + 0.1 * eik
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert bool(jnp.isfinite(loss))
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+    # light SGs and implicit net both receive gradient
+    assert float(jnp.abs(grads["envmap_material_network"]["lgtSGs"]).sum()) > 0
+    imp_leaf = grads["implicit_network"]["layers"][0]["v"]
+    assert float(jnp.abs(imp_leaf).sum()) > 0
+
+
+def test_forward_training_freeze_geo():
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    inputs = _inputs(S=8)
+
+    def loss_fn(p):
+        out = model.forward(
+            p, inputs, jax.random.PRNGKey(1), training=True, freeze_geo=True
+        )
+        return out["sg_rgb_values"].mean()
+
+    grads = jax.grad(loss_fn)(params)
+    # with frozen geometry the implicit net only gets gradient through the
+    # feature vector path (loss->material MLP->features). The light must.
+    assert float(jnp.abs(grads["envmap_material_network"]["lgtSGs"]).sum()) > 0
+
+
+def test_forward_multiray_mean():
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = model.forward(params, _inputs(S=6, R=4), jax.random.PRNGKey(1))
+    assert out["sg_rgb_values"].shape == (6, 3)
+    assert out["network_object_mask"].shape == (6,)
+
+
+def test_forward_fast_multiray():
+    model = _model(fast_multi_ray=True)
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = model.forward(params, _inputs(S=6, R=4), jax.random.PRNGKey(1))
+    assert out["sg_rgb_values"].shape == (6, 3)
+
+
+def test_forward_sg_render_type():
+    # closed-form SG path needs global (non-MLP) materials
+    conf = parse_string(
+        SMALL_CONF.replace("roughness_mlp = True", "roughness_mlp = False")
+        .replace("specular_mlp = True", "specular_mlp = False")
+        .replace("same_mlp = True", "same_mlp = False")
+        .replace("fix_specular_albedo = True", "fix_specular_albedo = False")
+        .replace("render_type = pt_render_indirect_mlp", "render_type = sg")
+    ).get_config("model")
+    model = IDRNetwork.from_conf(conf)
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = model.forward(params, _inputs(S=10), jax.random.PRNGKey(1))
+    assert out["sg_rgb_values"].shape == (10, 3)
+    assert out["secondary_points"] is None
+
+
+def test_forward_with_point():
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    N, R = 5, 3
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-0.4, 0.4, (N, R, 3)).astype(np.float32)
+    dirs = rng.randn(N, R, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    out = model.forward(
+        params,
+        {"points": jnp.asarray(pts), "ray_dirs": jnp.asarray(dirs)},
+        jax.random.PRNGKey(2),
+        with_point=True,
+    )
+    assert out["idr_rgb_values"].shape == (N, 3)
+    assert out["sg_rgb_values"].shape == (N, 3)
+
+
+def test_forward_jits():
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    inputs = _inputs(S=8)
+    f = jax.jit(lambda p, i, k: model.forward(p, i, k, training=True))
+    out = f(params, inputs, jax.random.PRNGKey(1))
+    assert bool(jnp.all(jnp.isfinite(out["sg_rgb_values"])))
