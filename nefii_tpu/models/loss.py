@@ -1,0 +1,314 @@
+"""IDRLoss — the full 10-term NeFII training loss.
+
+TPU-native equivalent of the reference model/loss.py:123-320:
+  * idr_rgb + sg_rgb image losses on hit-and-masked pixels (:162-174)
+  * background SG-vs-gt loss on miss-and-unmasked pixels (:176-186)
+  * cross-view view-diff loss (:188-219)
+  * eikonal (:221-226)
+  * mask BCE on -alpha*sdf with the alpha schedule (:228-235)
+  * masked SSIM on (2r)x(2r) patches with mask erosion (:54-120, 237-253)
+  * normal-smooth / roughness-smooth patch-variance losses (:255-276)
+
+All reductions are fixed-shape masked means: `sum(x*m)/max(count,1)` with a
+`where(count>0, ..., 0)` guard replacing the reference's early returns.
+torch.var's unbiased (n-1) divisor is preserved.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of x over rows where mask, averaged over trailing dims too."""
+    m = mask.astype(x.dtype)
+    while m.ndim < x.ndim:
+        m = m[..., None]
+    denom = jnp.clip((m * jnp.ones_like(x)).sum(), 1.0)
+    val = (x * m).sum() / denom
+    return jnp.where(mask.sum() > 0, val, 0.0)
+
+
+def _img_loss(pred, gt, kind: str):
+    d = pred - gt
+    if kind == "L1":
+        return jnp.abs(d)
+    if kind == "L2":
+        return d * d
+    if kind == "L1_smooth":
+        ad = jnp.abs(d)
+        return jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+    raise ValueError(f"unknown loss_type {kind!r}")
+
+
+def _var_unbiased(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    mu = jnp.mean(x, axis=axis, keepdims=True)
+    return jnp.sum((x - mu) ** 2, axis=axis) / max(n - 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# masked SSIM (reference loss.py:8-120)
+# ---------------------------------------------------------------------------
+
+def _gauss_kernel_1d(size: int, sigma: float) -> jnp.ndarray:
+    coords = np.arange(size, dtype=np.float32) - size // 2
+    g = np.exp(-(coords**2) / (2 * sigma**2))
+    return jnp.asarray(g / g.sum())
+
+
+def _gaussian_filter(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Separable valid-mode gaussian blur of [B,C,H,W]."""
+    size = win.shape[0]
+    B, C, H, W = img.shape
+    kh = win.reshape(1, 1, size, 1)
+    kw = win.reshape(1, 1, 1, size)
+    out = img
+    for k in (kh, kw):
+        out = jax.lax.conv_general_dilated(
+            out,
+            jnp.tile(k, (C, 1, 1, 1)),
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            feature_group_count=C,
+        )
+    return out
+
+
+def _erode_mask(mask: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Binary erosion of [B,1,H,W] by a size x size all-ones kernel."""
+    return jax.lax.reduce_window(
+        mask.astype(jnp.float32),
+        1.0,
+        jax.lax.min,
+        window_dimensions=(1, 1, size, size),
+        window_strides=(1, 1, 1, 1),
+        padding="SAME",
+    ) > 0.5
+
+
+def ssim_loss_fn(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    data_range: float = 1.0,
+    win_size: int = 11,
+    win_sigma: float = 1.5,
+    K=(0.01, 0.03),
+) -> jnp.ndarray:
+    """1 - masked SSIM of [B,C,H,W] images (reference loss.py:54-120).
+
+    Patches smaller than win_size skip the blur in that dimension, matching
+    the reference's fallback.
+    """
+    B, C, H, W = X.shape
+    eff = min(win_size, H, W)
+    if eff % 2 == 0:
+        eff -= 1
+    win = _gauss_kernel_1d(eff, win_sigma)
+
+    K1, K2 = K
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+
+    mu1 = _gaussian_filter(X, win)
+    mu2 = _gaussian_filter(Y, win)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+    sigma1_sq = _gaussian_filter(X * X, win) - mu1_sq
+    sigma2_sq = _gaussian_filter(Y * Y, win) - mu2_sq
+    sigma12 = _gaussian_filter(X * Y, win) - mu1_mu2
+
+    cs = (2 * sigma12 + C2) / (sigma1_sq + sigma2_sq + C2)
+    ssim_map = ((2 * mu1_mu2 + C1) / (mu1_sq + mu2_sq + C1)) * cs
+    ssim_map = ssim_map.mean(axis=1, keepdims=True)  # [B,1,h,w]
+
+    if mask is None:
+        return 1.0 - ssim_map.mean()
+
+    m = _erode_mask(mask, eff)
+    pad = (H - ssim_map.shape[2]) // 2
+    ssim_full = jnp.pad(
+        ssim_map, ((0, 0), (0, 0), (pad, pad), (pad, pad)), constant_values=1.0
+    )
+    val = 1.0 - _masked_mean(ssim_full, m)
+    return jnp.where(m.sum() > 0, val, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# the loss
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class IDRLoss:
+    idr_rgb_weight: float
+    sg_rgb_weight: float
+    eikonal_weight: float
+    mask_weight: float
+    alpha: float
+    r_patch: int = -1
+    normalsmooth_weight: float = 0.0
+    loss_type: str = "L1"
+    env_loss_type: str = "L1"
+    idr_ssim_weight: float = 0.0
+    sg_ssim_weight: float = 0.0
+    view_diff_weight: float = 0.0
+    roughnesssmooth_weight: float = 0.0
+    background_rgb_weight: float = 0.0
+    view_diff_full_rgb: bool = True
+    sample_each_iter: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "r_patch", int(self.r_patch))
+
+    # -- individual terms ---------------------------------------------------
+    def get_rgb_loss(self, idr_rgb, sg_rgb, rgb_gt, net_mask, obj_mask):
+        mask = net_mask & obj_mask
+        gt = rgb_gt.reshape(-1, 3)
+        idr = _masked_mean(_img_loss(idr_rgb, gt, self.loss_type), mask)
+        sg = _masked_mean(_img_loss(sg_rgb, gt, self.loss_type), mask)
+        return idr, sg
+
+    def get_background_rgb_loss(self, sg_rgb, rgb_gt, net_mask, obj_mask):
+        if self.background_rgb_weight <= 0:
+            return jnp.float32(0.0)
+        mask = (~net_mask) & (~obj_mask)
+        gt = rgb_gt.reshape(-1, 3)
+        return _masked_mean(_img_loss(sg_rgb, gt, self.env_loss_type), mask)
+
+    def get_eikonal_loss(self, grad_theta):
+        if grad_theta is None:
+            return jnp.float32(0.0)
+        return ((jnp.linalg.norm(grad_theta, axis=1) - 1) ** 2).mean()
+
+    def get_mask_loss(self, sdf_output, net_mask, obj_mask):
+        mask = ~(net_mask & obj_mask)
+        x = -self.alpha * sdf_output[:, 0]
+        z = obj_mask.astype(jnp.float32)
+        # binary_cross_entropy_with_logits, summed over the masked set
+        bce = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+        total = (bce * mask.astype(jnp.float32)).sum()
+        val = (1.0 / self.alpha) * total / float(obj_mask.shape[0])
+        return jnp.where(mask.sum() > 0, val, 0.0)
+
+    def get_ssim_loss(self, idr_rgb, sg_rgb, rgb_gt, net_mask, obj_mask):
+        if self.r_patch < 1 or (self.idr_ssim_weight == 0.0 and self.sg_ssim_weight == 0.0):
+            return jnp.float32(0.0), jnp.float32(0.0)
+        mask = net_mask & obj_mask
+        s = 2 * self.r_patch
+
+        def to_img(x):
+            return x.reshape(-1, s, s, 3).transpose(0, 3, 1, 2)
+
+        gt = to_img(rgb_gt.reshape(-1, 3))
+        m = mask.reshape(-1, s, s, 1).transpose(0, 3, 1, 2)
+        idr = ssim_loss_fn(to_img(idr_rgb), gt, m)
+        sg = ssim_loss_fn(to_img(sg_rgb), gt, m)
+        zero = jnp.float32(0.0)
+        any_mask = mask.sum() > 0
+        return jnp.where(any_mask, idr, zero), jnp.where(any_mask, sg, zero)
+
+    def get_normalsmooth_loss(self, normal, net_mask, obj_mask):
+        if self.r_patch < 1 or self.normalsmooth_weight == 0.0:
+            return jnp.float32(0.0)
+        p = 4 * self.r_patch * self.r_patch
+        mask = (net_mask & obj_mask).reshape(-1, p).all(axis=-1)
+        var = _var_unbiased(normal.reshape(-1, p, 3), axis=1)  # [P,3]
+        return _masked_mean(var, mask)
+
+    def get_roughnesssmooth_loss(self, roughness, normal, net_mask, obj_mask):
+        if self.r_patch < 1 or self.roughnesssmooth_weight == 0.0:
+            return jnp.float32(0.0)
+        p = 4 * self.r_patch * self.r_patch
+        mask = (net_mask & obj_mask).reshape(-1, p).all(axis=-1)
+        rvar = _var_unbiased(roughness.reshape(-1, p, 1), axis=1)  # [P,1]
+        nvar = _var_unbiased(
+            jax.lax.stop_gradient(normal).reshape(-1, p, 3), axis=1
+        ).mean(-1, keepdims=True)
+        return _masked_mean(rvar * (4.0 - nvar), mask)
+
+    def get_view_diff_loss(self, rgb, gt_rgb, net_mask, obj_mask, pixel_visible):
+        if self.view_diff_weight <= 0 or pixel_visible is None:
+            return jnp.float32(0.0)
+        B2, S, _ = gt_rgb.shape
+        B = B2 // 2
+        rgb = rgb.reshape(2, B, S, 3)
+        gt = gt_rgb.reshape(2, B, S, 3)
+        nm = net_mask.reshape(2, B, S)
+        om = obj_mask.reshape(2, B, S)
+        mask = pixel_visible & nm[0] & nm[1] & om[0] & om[1]
+        diff = (rgb[0] - rgb[1]).reshape(-1, 3)
+        gt_diff = (gt[0] - gt[1]).reshape(-1, 3)
+        return _masked_mean(_img_loss(diff, gt_diff, self.loss_type), mask.reshape(-1))
+
+    # -- combined ------------------------------------------------------------
+    def __call__(self, model_outputs: Dict, ground_truth: Dict) -> Dict[str, jnp.ndarray]:
+        rgb_gt = ground_truth["rgb"]
+        net_mask = model_outputs["network_object_mask"]
+        obj_mask = model_outputs["object_mask"]
+
+        idr_rgb_loss, sg_rgb_loss = self.get_rgb_loss(
+            model_outputs["idr_rgb_values"], model_outputs["sg_rgb_values"],
+            rgb_gt, net_mask, obj_mask,
+        )
+        mask_loss = self.get_mask_loss(model_outputs["sdf_output"], net_mask, obj_mask)
+        eikonal_loss = self.get_eikonal_loss(model_outputs["grad_theta"])
+        normalsmooth_loss = self.get_normalsmooth_loss(
+            model_outputs["normal_values"], net_mask, obj_mask
+        )
+        roughnesssmooth_loss = self.get_roughnesssmooth_loss(
+            model_outputs["sg_roughness_values"], model_outputs["normal_values"],
+            net_mask, obj_mask,
+        )
+        idr_ssim_loss, sg_ssim_loss = self.get_ssim_loss(
+            model_outputs["idr_rgb_values"], model_outputs["sg_rgb_values"],
+            rgb_gt, net_mask, obj_mask,
+        )
+        background_rgb_loss = self.get_background_rgb_loss(
+            model_outputs["sg_rgb_values"], rgb_gt, net_mask, obj_mask
+        )
+        vd_rgb = (
+            model_outputs["sg_rgb_values"]
+            if self.view_diff_full_rgb
+            else model_outputs["sg_specular_rgb_values"]
+        )
+        view_diff_loss = self.get_view_diff_loss(
+            vd_rgb, rgb_gt, net_mask, obj_mask, ground_truth.get("pixel_visible")
+        )
+
+        loss = (
+            self.idr_rgb_weight * idr_rgb_loss
+            + self.sg_rgb_weight * sg_rgb_loss
+            + self.eikonal_weight * eikonal_loss
+            + self.mask_weight * mask_loss
+            + self.normalsmooth_weight * normalsmooth_loss
+            + self.roughnesssmooth_weight * roughnesssmooth_loss
+            + self.idr_ssim_weight * idr_ssim_loss
+            + self.sg_ssim_weight * sg_ssim_loss
+            + self.view_diff_weight * view_diff_loss
+            + self.background_rgb_weight * background_rgb_loss
+        )
+        return {
+            "loss": loss,
+            "idr_rgb_loss": idr_rgb_loss,
+            "sg_rgb_loss": sg_rgb_loss,
+            "eikonal_loss": eikonal_loss,
+            "mask_loss": mask_loss,
+            "normalsmooth_loss": normalsmooth_loss,
+            "roughnesssmooth_loss": roughnesssmooth_loss,
+            "idr_ssim_loss": idr_ssim_loss,
+            "sg_ssim_loss": sg_ssim_loss,
+            "view_diff_loss": view_diff_loss,
+            "background_rgb_loss": background_rgb_loss,
+        }
+
+    def with_alpha(self, alpha: float) -> "IDRLoss":
+        """New loss with an updated mask-BCE alpha (the alpha schedule)."""
+        import dataclasses
+
+        return dataclasses.replace(self, alpha=alpha)
