@@ -1,4 +1,4 @@
-"""IDRLoss — the full 10-term NeFII training loss.
+"""IDRLoss — the full 10-term NeFII training loss, SPMD-aware.
 
 TPU-native equivalent of the reference model/loss.py:123-320:
   * idr_rgb + sg_rgb image losses on hit-and-masked pixels (:162-174)
@@ -9,9 +9,13 @@ TPU-native equivalent of the reference model/loss.py:123-320:
   * masked SSIM on (2r)x(2r) patches with mask erosion (:54-120, 237-253)
   * normal-smooth / roughness-smooth patch-variance losses (:255-276)
 
-All reductions are fixed-shape masked means: `sum(x*m)/max(count,1)` with a
-`where(count>0, ..., 0)` guard replacing the reference's early returns.
-torch.var's unbiased (n-1) divisor is preserved.
+All reductions are fixed-shape masked means carried as (numerator,
+denominator) pairs; when `axis_name` is given (ray-sharded shard_map
+training), the pairs are `psum`'d over the mesh axis BEFORE dividing, so the
+sharded loss is bit-identical to the single-chip loss — this replaces DDP's
+gradient averaging with exact global masked means. `alpha` for the mask BCE
+can be overridden by a traced scalar so the alpha schedule doesn't trigger
+recompilation. torch.var's unbiased (n-1) divisor is preserved.
 """
 
 from __future__ import annotations
@@ -24,14 +28,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Mean of x over rows where mask, averaged over trailing dims too."""
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def _axis_size(axis_name):
+    return jax.lax.axis_size(axis_name) if axis_name else 1
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis_name=None) -> jnp.ndarray:
+    """Mean of x over rows where mask (globally across shards)."""
     m = mask.astype(x.dtype)
     while m.ndim < x.ndim:
         m = m[..., None]
-    denom = jnp.clip((m * jnp.ones_like(x)).sum(), 1.0)
-    val = (x * m).sum() / denom
-    return jnp.where(mask.sum() > 0, val, 0.0)
+    num = _psum((x * m).sum(), axis_name)
+    den = _psum((m * jnp.ones_like(x)).sum(), axis_name)
+    return jnp.where(den > 0, num / jnp.clip(den, 1.0), 0.0)
 
 
 def _img_loss(pred, gt, kind: str):
@@ -101,11 +113,12 @@ def ssim_loss_fn(
     win_size: int = 11,
     win_sigma: float = 1.5,
     K=(0.01, 0.03),
+    axis_name=None,
 ) -> jnp.ndarray:
     """1 - masked SSIM of [B,C,H,W] images (reference loss.py:54-120).
 
-    Patches smaller than win_size skip the blur in that dimension, matching
-    the reference's fallback.
+    Patches smaller than win_size shrink the window, matching the reference's
+    skip-small-dims fallback.
     """
     B, C, H, W = X.shape
     eff = min(win_size, H, W)
@@ -136,8 +149,8 @@ def ssim_loss_fn(
     ssim_full = jnp.pad(
         ssim_map, ((0, 0), (0, 0), (pad, pad), (pad, pad)), constant_values=1.0
     )
-    val = 1.0 - _masked_mean(ssim_full, m)
-    return jnp.where(m.sum() > 0, val, 0.0)
+    val = 1.0 - _masked_mean(ssim_full, m, axis_name)
+    return jnp.where(_psum(m.sum(), axis_name) > 0, val, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -167,36 +180,40 @@ class IDRLoss:
         object.__setattr__(self, "r_patch", int(self.r_patch))
 
     # -- individual terms ---------------------------------------------------
-    def get_rgb_loss(self, idr_rgb, sg_rgb, rgb_gt, net_mask, obj_mask):
+    def get_rgb_loss(self, idr_rgb, sg_rgb, rgb_gt, net_mask, obj_mask, axis_name=None):
         mask = net_mask & obj_mask
         gt = rgb_gt.reshape(-1, 3)
-        idr = _masked_mean(_img_loss(idr_rgb, gt, self.loss_type), mask)
-        sg = _masked_mean(_img_loss(sg_rgb, gt, self.loss_type), mask)
+        idr = _masked_mean(_img_loss(idr_rgb, gt, self.loss_type), mask, axis_name)
+        sg = _masked_mean(_img_loss(sg_rgb, gt, self.loss_type), mask, axis_name)
         return idr, sg
 
-    def get_background_rgb_loss(self, sg_rgb, rgb_gt, net_mask, obj_mask):
+    def get_background_rgb_loss(self, sg_rgb, rgb_gt, net_mask, obj_mask, axis_name=None):
         if self.background_rgb_weight <= 0:
             return jnp.float32(0.0)
         mask = (~net_mask) & (~obj_mask)
         gt = rgb_gt.reshape(-1, 3)
-        return _masked_mean(_img_loss(sg_rgb, gt, self.env_loss_type), mask)
+        return _masked_mean(_img_loss(sg_rgb, gt, self.env_loss_type), mask, axis_name)
 
-    def get_eikonal_loss(self, grad_theta):
+    def get_eikonal_loss(self, grad_theta, axis_name=None):
         if grad_theta is None:
             return jnp.float32(0.0)
-        return ((jnp.linalg.norm(grad_theta, axis=1) - 1) ** 2).mean()
+        local = ((jnp.linalg.norm(grad_theta, axis=1) - 1) ** 2).mean()
+        # equal-sized per-shard eikonal batches -> global mean is pmean
+        return _psum(local, axis_name) / _axis_size(axis_name)
 
-    def get_mask_loss(self, sdf_output, net_mask, obj_mask):
+    def get_mask_loss(self, sdf_output, net_mask, obj_mask, alpha=None, axis_name=None):
+        a = self.alpha if alpha is None else alpha
         mask = ~(net_mask & obj_mask)
-        x = -self.alpha * sdf_output[:, 0]
+        x = -a * sdf_output[:, 0]
         z = obj_mask.astype(jnp.float32)
         # binary_cross_entropy_with_logits, summed over the masked set
         bce = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
-        total = (bce * mask.astype(jnp.float32)).sum()
-        val = (1.0 / self.alpha) * total / float(obj_mask.shape[0])
-        return jnp.where(mask.sum() > 0, val, 0.0)
+        total = _psum((bce * mask.astype(jnp.float32)).sum(), axis_name)
+        n_total = float(obj_mask.shape[0]) * _axis_size(axis_name)
+        val = (1.0 / a) * total / n_total
+        return jnp.where(_psum(mask.sum(), axis_name) > 0, val, 0.0)
 
-    def get_ssim_loss(self, idr_rgb, sg_rgb, rgb_gt, net_mask, obj_mask):
+    def get_ssim_loss(self, idr_rgb, sg_rgb, rgb_gt, net_mask, obj_mask, axis_name=None):
         if self.r_patch < 1 or (self.idr_ssim_weight == 0.0 and self.sg_ssim_weight == 0.0):
             return jnp.float32(0.0), jnp.float32(0.0)
         mask = net_mask & obj_mask
@@ -207,21 +224,21 @@ class IDRLoss:
 
         gt = to_img(rgb_gt.reshape(-1, 3))
         m = mask.reshape(-1, s, s, 1).transpose(0, 3, 1, 2)
-        idr = ssim_loss_fn(to_img(idr_rgb), gt, m)
-        sg = ssim_loss_fn(to_img(sg_rgb), gt, m)
+        idr = ssim_loss_fn(to_img(idr_rgb), gt, m, axis_name=axis_name)
+        sg = ssim_loss_fn(to_img(sg_rgb), gt, m, axis_name=axis_name)
         zero = jnp.float32(0.0)
-        any_mask = mask.sum() > 0
+        any_mask = _psum(mask.sum(), axis_name) > 0
         return jnp.where(any_mask, idr, zero), jnp.where(any_mask, sg, zero)
 
-    def get_normalsmooth_loss(self, normal, net_mask, obj_mask):
+    def get_normalsmooth_loss(self, normal, net_mask, obj_mask, axis_name=None):
         if self.r_patch < 1 or self.normalsmooth_weight == 0.0:
             return jnp.float32(0.0)
         p = 4 * self.r_patch * self.r_patch
         mask = (net_mask & obj_mask).reshape(-1, p).all(axis=-1)
         var = _var_unbiased(normal.reshape(-1, p, 3), axis=1)  # [P,3]
-        return _masked_mean(var, mask)
+        return _masked_mean(var, mask, axis_name)
 
-    def get_roughnesssmooth_loss(self, roughness, normal, net_mask, obj_mask):
+    def get_roughnesssmooth_loss(self, roughness, normal, net_mask, obj_mask, axis_name=None):
         if self.r_patch < 1 or self.roughnesssmooth_weight == 0.0:
             return jnp.float32(0.0)
         p = 4 * self.r_patch * self.r_patch
@@ -230,9 +247,9 @@ class IDRLoss:
         nvar = _var_unbiased(
             jax.lax.stop_gradient(normal).reshape(-1, p, 3), axis=1
         ).mean(-1, keepdims=True)
-        return _masked_mean(rvar * (4.0 - nvar), mask)
+        return _masked_mean(rvar * (4.0 - nvar), mask, axis_name)
 
-    def get_view_diff_loss(self, rgb, gt_rgb, net_mask, obj_mask, pixel_visible):
+    def get_view_diff_loss(self, rgb, gt_rgb, net_mask, obj_mask, pixel_visible, axis_name=None):
         if self.view_diff_weight <= 0 or pixel_visible is None:
             return jnp.float32(0.0)
         B2, S, _ = gt_rgb.shape
@@ -244,33 +261,43 @@ class IDRLoss:
         mask = pixel_visible & nm[0] & nm[1] & om[0] & om[1]
         diff = (rgb[0] - rgb[1]).reshape(-1, 3)
         gt_diff = (gt[0] - gt[1]).reshape(-1, 3)
-        return _masked_mean(_img_loss(diff, gt_diff, self.loss_type), mask.reshape(-1))
+        return _masked_mean(
+            _img_loss(diff, gt_diff, self.loss_type), mask.reshape(-1), axis_name
+        )
 
     # -- combined ------------------------------------------------------------
-    def __call__(self, model_outputs: Dict, ground_truth: Dict) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self,
+        model_outputs: Dict,
+        ground_truth: Dict,
+        alpha: Optional[jnp.ndarray] = None,
+        axis_name: Optional[str] = None,
+    ) -> Dict[str, jnp.ndarray]:
         rgb_gt = ground_truth["rgb"]
         net_mask = model_outputs["network_object_mask"]
         obj_mask = model_outputs["object_mask"]
 
         idr_rgb_loss, sg_rgb_loss = self.get_rgb_loss(
             model_outputs["idr_rgb_values"], model_outputs["sg_rgb_values"],
-            rgb_gt, net_mask, obj_mask,
+            rgb_gt, net_mask, obj_mask, axis_name,
         )
-        mask_loss = self.get_mask_loss(model_outputs["sdf_output"], net_mask, obj_mask)
-        eikonal_loss = self.get_eikonal_loss(model_outputs["grad_theta"])
+        mask_loss = self.get_mask_loss(
+            model_outputs["sdf_output"], net_mask, obj_mask, alpha, axis_name
+        )
+        eikonal_loss = self.get_eikonal_loss(model_outputs["grad_theta"], axis_name)
         normalsmooth_loss = self.get_normalsmooth_loss(
-            model_outputs["normal_values"], net_mask, obj_mask
+            model_outputs["normal_values"], net_mask, obj_mask, axis_name
         )
         roughnesssmooth_loss = self.get_roughnesssmooth_loss(
             model_outputs["sg_roughness_values"], model_outputs["normal_values"],
-            net_mask, obj_mask,
+            net_mask, obj_mask, axis_name,
         )
         idr_ssim_loss, sg_ssim_loss = self.get_ssim_loss(
             model_outputs["idr_rgb_values"], model_outputs["sg_rgb_values"],
-            rgb_gt, net_mask, obj_mask,
+            rgb_gt, net_mask, obj_mask, axis_name,
         )
         background_rgb_loss = self.get_background_rgb_loss(
-            model_outputs["sg_rgb_values"], rgb_gt, net_mask, obj_mask
+            model_outputs["sg_rgb_values"], rgb_gt, net_mask, obj_mask, axis_name
         )
         vd_rgb = (
             model_outputs["sg_rgb_values"]
@@ -278,7 +305,8 @@ class IDRLoss:
             else model_outputs["sg_specular_rgb_values"]
         )
         view_diff_loss = self.get_view_diff_loss(
-            vd_rgb, rgb_gt, net_mask, obj_mask, ground_truth.get("pixel_visible")
+            vd_rgb, rgb_gt, net_mask, obj_mask,
+            ground_truth.get("pixel_visible"), axis_name,
         )
 
         loss = (
@@ -312,3 +340,7 @@ class IDRLoss:
         import dataclasses
 
         return dataclasses.replace(self, alpha=alpha)
+
+    @classmethod
+    def from_conf(cls, conf) -> "IDRLoss":
+        return cls(**conf.as_plain_dict())

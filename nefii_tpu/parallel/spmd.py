@@ -1,0 +1,183 @@
+"""SPMD train/render steps: shard_map over the ray axis.
+
+Replaces the reference's DDP machinery (idr_train.py:28-40,308-311; SURVEY.md
+§2.6). Design:
+
+  * params replicated, pixel/ray batch sharded over a 1-D `ray` mesh axis;
+  * the forward (sphere tracing included) runs fully shard-local — the
+    tracer's while-loop convergence tests and the compaction argsorts stay
+    per-chip, so no per-iteration collectives (the reason for shard_map over
+    GSPMD auto-sharding here);
+  * the loss's masked means psum (num, den) pairs over the axis, making the
+    sharded loss bit-identical to single-chip;
+  * per-shard gradients are psum'd — together with the global denominators
+    this reproduces exact global gradients (what DDP's all-reduce-of-averaged
+    grads only approximates under masked losses);
+  * per-chip RNG: the step key is folded with the axis index, mirroring the
+    reference's shared-sampler-seed + disjoint-pixel-shard scheme.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from nefii_tpu.parallel.mesh import RAY_AXIS
+
+# keys sharded along their pixel axis (axis 1 for [B,S,...], axis 0 for flat)
+_BATCH_AXIS1 = {"uv", "object_mask", "rgb", "pixel_visible"}
+_BATCH_AXIS0 = {"points", "ray_dirs"}
+
+
+def batch_pspec(batch: Dict[str, Any], axis_name: str = RAY_AXIS):
+    specs = {}
+    for k, v in batch.items():
+        if k in _BATCH_AXIS1:
+            specs[k] = P(None, axis_name)
+        elif k in _BATCH_AXIS0:
+            specs[k] = P(axis_name)
+        else:
+            specs[k] = P()
+    return specs
+
+
+def make_grad_fn(
+    model,
+    loss,
+    mesh: Mesh,
+    *,
+    axis_name: str = RAY_AXIS,
+    freeze_geo: bool = False,
+    fake_roughness: bool = False,
+    fake_specular: bool = False,
+    with_secondary: bool = True,
+):
+    """Build the shard-mapped (loss, grads, secondary) function for training."""
+
+    from nefii_tpu.models.idr import PT_RENDER_TYPES
+
+    has_secondary = (
+        with_secondary
+        and PT_RENDER_TYPES.get(model.render_type, {}).get("shadow") is not None
+    )
+    secondary_keys = (
+        ("secondary_points", "secondary_mask", "secondary_dir") if has_secondary else ()
+    )
+
+    def local_fn(params, batch, gt, key, alpha):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+        def loss_fn(p):
+            out = model.forward(
+                p, batch, key, training=True, freeze_geo=freeze_geo,
+                fake_roughness=fake_roughness, fake_specular=fake_specular,
+            )
+            ld = loss(out, gt, alpha=alpha, axis_name=axis_name)
+            return ld["loss"], (ld, out)
+
+        # the psums inside the loss make it a global scalar; shard_map's AD
+        # transposes them correctly, so per-shard grads are already the full
+        # (replicated) global gradient — no extra psum.
+        (_, (ld, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        secondary = {k: out[k] for k in secondary_keys if out.get(k) is not None}
+        return ld, grads, secondary
+
+    def build(sample_batch, sample_gt):
+        in_specs = (
+            P(),  # params replicated
+            batch_pspec(sample_batch, axis_name),
+            batch_pspec(sample_gt, axis_name),
+            P(),  # key
+            P(),  # alpha
+        )
+        out_specs = (
+            P(),  # loss dict (replicated scalars)
+            P(),  # grads (psum'd -> replicated)
+            {k: P(None, axis_name) for k in secondary_keys},
+        )
+        return shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            
+        )
+
+    return build
+
+
+def make_eval_forward(
+    model,
+    mesh: Mesh,
+    *,
+    axis_name: str = RAY_AXIS,
+    output_keys: Tuple[str, ...] = (
+        "idr_rgb_values", "sg_rgb_values", "normal_values",
+        "sg_diffuse_rgb_values", "sg_diffuse_albedo_values",
+        "sg_specular_rgb_values", "sg_roughness_values",
+        "sg_specular_reflection_values", "network_object_mask",
+    ),
+):
+    """Shard-mapped eval forward: each chip renders its ray shard; outputs
+    are reassembled along the ray axis (replacing render.py's pickled
+    dist.gather_object, reference idr_train.py:443-447)."""
+
+    def local_fn(params, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        out = model.forward(params, batch, key, training=False)
+        return {k: out[k] for k in output_keys}
+
+    def build(sample_batch):
+        in_specs = (P(), batch_pspec(sample_batch, axis_name), P())
+        out_specs = {k: P(axis_name) for k in output_keys}
+        return shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            
+        )
+
+    return build
+
+
+def make_point_grad_fn(
+    model,
+    mesh: Mesh,
+    *,
+    axis_name: str = RAY_AXIS,
+    fake_roughness: bool = False,
+    fake_specular: bool = False,
+):
+    """Shard-mapped secondary self-distillation gradient:
+    L1(sg_rgb, stop_grad(idr_rgb)) over valid secondary points
+    (reference idr_train.py:804-852)."""
+
+    def local_fn(params, batch, valid, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+        def loss_fn(p):
+            out = model.forward(
+                p, batch, key, with_point=True,
+                fake_roughness=fake_roughness, fake_specular=fake_specular,
+            )
+            diff = jnp.abs(out["sg_rgb_values"] - out["idr_rgb_values"])
+            num = jax.lax.psum((diff * valid[:, None]).sum(), axis_name)
+            den = jax.lax.psum(valid.sum() * 3.0, axis_name)
+            return jnp.where(den > 0, num / jnp.clip(den, 1.0), 0.0)
+
+        l, grads = jax.value_and_grad(loss_fn)(params)
+        return l, grads
+
+    def build():
+        in_specs = (P(), {"points": P(axis_name), "ray_dirs": P(axis_name)}, P(axis_name), P())
+        out_specs = (P(), P())
+        return shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            
+        )
+
+    return build
