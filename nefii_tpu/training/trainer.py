@@ -1,0 +1,548 @@
+"""IDRTrainRunner — Step-2 material + environment-light training.
+
+TPU-native equivalent of the reference training/idr_train.py:23-906:
+experiment dirs with conf backup + runcmd.txt (:94-138), train/plot/test
+datasets with shared-seed sampling (:142-178), two Adam+MultiStep schedules —
+idr (implicit+rendering) and sg (material) (:188-198), optional camera-pose
+optimisation (:200-205), surgical checkpoint loads (:207-306), the training
+loop with ckpt/vis cadences, alpha schedule, roughness/specular warmups, NaN
+guard (:616-802), and secondary self-distillation (:804-852).
+
+TPU-native design:
+  * the gradient step is a single jitted function wrapping the shard-mapped
+    forward+loss (parallel/spmd.py) — DDP is replaced by exact global masked
+    means over the ray mesh axis;
+  * freeze flags become optax.multi_transform masks (zero-update for frozen
+    subtrees) instead of requires_grad mutation;
+  * the alpha schedule and warmup fakes are a traced scalar / two static
+    recompiles, not module state;
+  * per-epoch pixel sampling uses explicit numpy Generators seeded by epoch,
+    so every host draws the same permutation and takes its disjoint shard
+    (the reference's shared-sampler-seed scheme, :145-149, 672).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+from datetime import datetime
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nefii_tpu.config import ConfigFactory, ConfigTree, get_class
+from nefii_tpu.models.loss import IDRLoss
+from nefii_tpu.parallel import spmd
+from nefii_tpu.parallel.mesh import make_mesh, shard_batch
+from nefii_tpu.utils import checkpoints as ckpt
+from nefii_tpu.utils import general as utils
+from nefii_tpu.utils import exr as exr_io
+
+
+def _multistep_schedule(lr: float, milestones, factor: float):
+    if not milestones:
+        return lr
+    return optax.piecewise_constant_schedule(
+        lr, {int(m): factor for m in milestones}
+    )
+
+
+class IDRTrainRunner:
+    def __init__(self, **kwargs):
+        conf = kwargs["conf"]
+        self.conf = conf if isinstance(conf, ConfigTree) else ConfigFactory.parse_file(conf)
+        self.batch_size = kwargs.get("batch_size", 1)
+        self.nepochs = kwargs.get("nepochs", 2000)
+        self.max_niters = kwargs.get("max_niters", 200001)
+        self.exps_folder_name = kwargs.get("exps_folder_name", "exps")
+        self.train_cameras = kwargs.get("train_cameras", False)
+        self.freeze_geometry = kwargs.get("freeze_geometry", False)
+        self.freeze_idr = kwargs.get("freeze_idr", False)
+        self.freeze_decompose_render = kwargs.get("freeze_decompose_render", False)
+        self.freeze_light = kwargs.get("freeze_light", False)
+        self.freeze_diffuse = kwargs.get("freeze_diffuse", False)
+        self.roughness_warmup = kwargs.get("roughness_warmup", -1)
+        self.specular_warmup = kwargs.get("specular_warmup", -1)
+        self.secondary_train_interval = kwargs.get("secondary_train_interval", -1)
+        self.secondary_batch_size = kwargs.get("secondary_batch_size", 1)
+        self.memory_capacity_level = kwargs.get("memory_capacity_level", 18)
+        self.write_idr = kwargs.get("write_idr", False)
+        self.seed = kwargs.get("seed", 0)
+        self.coordinate_type = kwargs.get("coordinate_type", "mitsuba")
+
+        # ---- experiment dir -------------------------------------------------
+        self.expname = kwargs.get("expname") or self.conf.get_string(
+            "train.expname", default="default"
+        )
+        is_continue = kwargs.get("is_continue", False)
+        timestamp_arg = kwargs.get("timestamp", "latest")
+        self.expdir = os.path.join(self.exps_folder_name, self.expname)
+        if is_continue and timestamp_arg == "latest" and os.path.exists(self.expdir):
+            stamps = sorted(os.listdir(self.expdir))
+            timestamp = stamps[-1] if stamps else datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+        elif is_continue:
+            timestamp = timestamp_arg
+        else:
+            timestamp = datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+        self.timestamp = timestamp
+        self.rundir = os.path.join(self.expdir, timestamp)
+        self.checkpoints_path = os.path.join(self.rundir, "checkpoints")
+        self.plots_dir = os.path.join(self.rundir, "plots")
+        for d in (self.rundir, self.checkpoints_path, self.plots_dir):
+            utils.mkdir_ifnotexists(d)
+        # conf backup + run command (reference :124-133)
+        conf_path = kwargs["conf"] if isinstance(kwargs["conf"], str) else None
+        if conf_path and os.path.exists(conf_path):
+            shutil.copy(conf_path, os.path.join(self.rundir, "runconf.conf"))
+        with open(os.path.join(self.rundir, "runcmd.txt"), "a") as f:
+            f.write(" ".join(sys.argv) + "\n")
+
+        # ---- data -----------------------------------------------------------
+        dataset_class = get_class(self.conf.get_string("train.dataset_class"))
+        self.train_dataset = dataset_class(
+            kwargs["gamma"], kwargs["data_split_dir"], self.train_cameras,
+            kwargs.get("subsample", 1), wo_mask=kwargs.get("wo_mask", False),
+        )
+        vis_sub = kwargs.get("subsample", 1) * kwargs.get("vis_subsample", 1)
+        self.plot_dataset = dataset_class(
+            kwargs["gamma"], kwargs["data_split_dir"], self.train_cameras,
+            vis_sub, wo_mask=kwargs.get("wo_mask", False),
+        )
+        test_dir = kwargs.get("data_split_dir_test") or kwargs["data_split_dir"]
+        self.test_dataset = dataset_class(
+            kwargs["gamma"], test_dir, False, vis_sub,
+            wo_mask=kwargs.get("wo_mask", False),
+        )
+
+        # ---- model / loss ---------------------------------------------------
+        model_class = get_class(self.conf.get_string("train.model_class"))
+        self.model = model_class.from_conf(self.conf.get_config("model"))
+        self.loss = IDRLoss(**self.conf.get_config("loss").as_plain_dict())
+
+        self.mesh = make_mesh()
+        self.world_size = self.mesh.devices.size
+
+        key = jax.random.PRNGKey(self.seed)
+        self.params = self.model.init_params(key)
+
+        # ---- optimizers -----------------------------------------------------
+        idr_lr = self.conf.get_float("train.idr_learning_rate")
+        sg_lr = self.conf.get_float("train.sg_learning_rate")
+        idr_sched = _multistep_schedule(
+            idr_lr,
+            self.conf.get_list("train.idr_sched_milestones", default=[]),
+            self.conf.get_float("train.idr_sched_factor", default=0.0),
+        )
+        sg_sched = _multistep_schedule(
+            sg_lr,
+            self.conf.get_list("train.sg_sched_milestones", default=[]),
+            self.conf.get_float("train.sg_sched_factor", default=0.0),
+        )
+        self.idr_tx = optax.multi_transform(
+            {"train": optax.adam(idr_sched), "zero": optax.set_to_zero()},
+            param_labels=self._idr_labels(),
+        )
+        self.sg_tx = optax.multi_transform(
+            {"train": optax.adam(sg_sched), "zero": optax.set_to_zero()},
+            param_labels=self._sg_labels(),
+        )
+        self.idr_opt_state = self.idr_tx.init(self.params)
+        self.sg_opt_state = self.sg_tx.init(self.params)
+
+        # camera pose optimisation (reference :200-205); plain adam on the
+        # pose embedding (SparseAdam's row-sparsity is approximated by the
+        # zero-gradient rows receiving only moment decay)
+        self.pose_vecs = None
+        self.cam_tx = None
+        self.cam_opt_state = None
+        if self.train_cameras:
+            self.pose_vecs = jnp.asarray(self.train_dataset.get_pose_init())
+            self.cam_tx = optax.adam(self.conf.get_float("train.learning_rate_cam"))
+            self.cam_opt_state = self.cam_tx.init(self.pose_vecs)
+
+        # ---- pretrained / partial loads ------------------------------------
+        self.start_epoch = 0
+        self.cur_iter = 0
+        self._partial_loads(kwargs, is_continue)
+
+        # ---- schedule/bookkeeping ------------------------------------------
+        self.num_pixels = self.conf.get_int("train.num_pixels")
+        self.num_rays = self.conf.get_int("train.num_rays", default=-1)
+        self.total_pixels = self.train_dataset.total_pixels
+        self.img_res = self.train_dataset.img_res
+        self.plot_freq = self.conf.get_int("train.plot_freq")
+        self.val_freq = self.conf.get_int("train.val_freq")
+        self.ckpt_freq = self.conf.get_int("train.ckpt_freq")
+        self.alpha_milestones = [
+            int(a) for a in self.conf.get_list("train.alpha_milestones", default=[])
+        ]
+        self.alpha_factor = self.conf.get_float("train.alpha_factor", default=0.0)
+        self.base_alpha = self.loss.alpha
+
+        self._step_cache: Dict[Any, Any] = {}
+        self._writer = None
+        self.log_freq = max(50 // self.batch_size, 1)
+        self.cur_iter = self.start_epoch * len(self.train_dataset)
+
+    # ------------------------------------------------------------------
+    def _idr_labels(self):
+        def label(subtree, name):
+            if name == "implicit_network":
+                frozen = self.freeze_geometry or self.freeze_idr
+                return jax.tree_util.tree_map(lambda _: "zero" if frozen else "train", subtree)
+            if name == "rendering_network":
+                return jax.tree_util.tree_map(
+                    lambda _: "zero" if self.freeze_idr else "train", subtree
+                )
+            return jax.tree_util.tree_map(lambda _: "zero", subtree)
+
+        return lambda params: {k: label(v, k) for k, v in params.items()}
+
+    def _sg_labels(self):
+        def label(subtree, name):
+            if name != "envmap_material_network":
+                return jax.tree_util.tree_map(lambda _: "zero", subtree)
+            out = {}
+            for k, v in subtree.items():
+                if self.freeze_decompose_render:
+                    lab = "zero"
+                elif k == "lgtSGs" and self.freeze_light:
+                    lab = "zero"
+                elif k == "diffuse_albedo_layers" and self.freeze_diffuse:
+                    lab = "zero"
+                elif k == "specular_reflectance" and self.model.envmap_material_network.fix_specular_albedo:
+                    lab = "zero"
+                else:
+                    lab = "train"
+                out[k] = jax.tree_util.tree_map(lambda _: lab, v)
+            return out
+
+        return lambda params: {k: label(v, k) for k, v in params.items()}
+
+    # ------------------------------------------------------------------
+    def _partial_loads(self, kwargs, is_continue):
+        p = kwargs.get("pretrain_geometry_path")
+        if p and os.path.exists(p):
+            self.params = ckpt.import_torch_implicit(self.params, p) \
+                if p.endswith(".pth") else ckpt.restore_subtree(
+                    self.params, p, "latest", "implicit_network")
+        p = kwargs.get("pretrain_idr_rendering_path")
+        if p and os.path.exists(p) and not p.endswith(".pth"):
+            self.params = ckpt.restore_subtree(self.params, p, "latest", "rendering_network")
+        p = kwargs.get("pretrain_diffuse_path")
+        if p and os.path.exists(p) and not p.endswith(".pth"):
+            self.params = ckpt.restore_diffuse_only(self.params, p, "latest")
+        p = kwargs.get("light_sg_path")
+        if p and os.path.exists(p):
+            self.params = ckpt.load_light_npy(self.params, p)
+
+        if is_continue:
+            old_expdir = kwargs.get("old_expdir") or self.expdir
+            ckdir = os.path.join(old_expdir, self.timestamp, "checkpoints")
+            tag = kwargs.get("checkpoint", "latest")
+            (self.params, self.idr_opt_state, self.sg_opt_state, self.start_epoch,
+             self.cur_iter, self.pose_vecs, self.cam_opt_state) = ckpt.load_all(
+                ckdir, tag, self.params, self.idr_opt_state, self.sg_opt_state,
+                self.pose_vecs, self.cam_opt_state,
+            )
+
+        g = kwargs.get("geometry", "")
+        if g.endswith(".pth") and os.path.exists(g):
+            self.params = ckpt.import_torch_implicit(self.params, g)
+        elif g and os.path.isdir(g):
+            self.params = ckpt.restore_subtree(self.params, g, "latest", "implicit_network")
+        gn = kwargs.get("geometry_neus", "")
+        if gn.endswith(".pth") and os.path.exists(gn):
+            self.params = ckpt.import_torch_implicit(
+                self.params, gn, module_prefix="", state_key="sdf_network_fine"
+            )
+
+    # ------------------------------------------------------------------
+    def _alpha(self) -> float:
+        a = self.base_alpha
+        for m in self.alpha_milestones:
+            if self.cur_iter > m:
+                a *= self.alpha_factor
+        return a
+
+    def _fakes(self):
+        return (
+            self.roughness_warmup > 0 and self.cur_iter < self.roughness_warmup,
+            self.specular_warmup > 0 and self.cur_iter < self.specular_warmup,
+        )
+
+    def _get_step(self, fake_r: bool, fake_s: bool, sample_batch, sample_gt):
+        kind = ("train", fake_r, fake_s)
+        if kind in self._step_cache:
+            return self._step_cache[kind]
+        grad_fn = spmd.make_grad_fn(
+            self.model, self.loss, self.mesh,
+            freeze_geo=self.freeze_geometry or self.freeze_idr,
+            fake_roughness=fake_r, fake_specular=fake_s,
+        )(sample_batch, sample_gt)
+
+        def step(params, idr_state, sg_state, batch, gt, key, alpha):
+            ld, grads, secondary = grad_fn(params, batch, gt, key, alpha)
+            idr_updates, idr_state = self.idr_tx.update(grads, idr_state, params)
+            params = optax.apply_updates(params, idr_updates)
+            sg_updates, sg_state = self.sg_tx.update(grads, sg_state, params)
+            params = optax.apply_updates(params, sg_updates)
+            return params, idr_state, sg_state, ld, secondary
+
+        step = jax.jit(step, donate_argnums=(0, 1, 2))
+        self._step_cache[kind] = step
+        return step
+
+    def _get_secondary_step(self, fake_r: bool, fake_s: bool):
+        kind = ("secondary", fake_r, fake_s)
+        if kind in self._step_cache:
+            return self._step_cache[kind]
+        point_grad = spmd.make_point_grad_fn(
+            self.model, self.mesh, fake_roughness=fake_r, fake_specular=fake_s
+        )()
+
+        def step(params, idr_state, sg_state, batch, valid, key):
+            l, grads = point_grad(params, batch, valid, key)
+            idr_updates, idr_state = self.idr_tx.update(grads, idr_state, params)
+            params = optax.apply_updates(params, idr_updates)
+            sg_updates, sg_state = self.sg_tx.update(grads, sg_state, params)
+            params = optax.apply_updates(params, sg_updates)
+            return params, idr_state, sg_state, l
+
+        step = jax.jit(step, donate_argnums=(0, 1, 2))
+        self._step_cache[kind] = step
+        return step
+
+    # ------------------------------------------------------------------
+    def save_checkpoints(self, epoch: int):
+        ckpt.save_all(
+            self.checkpoints_path, epoch, self.params,
+            self.idr_opt_state, self.sg_opt_state, self.cur_iter,
+            self.pose_vecs, self.cam_opt_state,
+        )
+
+    # ------------------------------------------------------------------
+    def _sample_pixels(self, epoch: int):
+        """Per-epoch pixel/patch sampling with rank scatter (reference
+        :645-662). All hosts share the epoch-seeded generator; the mesh axis
+        shard happens inside shard_map, so no host-side scatter is needed for
+        single-host multi-chip."""
+        rng = np.random.default_rng(epoch + 7919 * self.seed)
+        if self.loss.r_patch < 1:
+            self.train_dataset.change_sampling_idx(self.num_pixels, rng)
+        else:
+            self.train_dataset.change_sampling_idx_patch(
+                self.num_pixels // (4 * self.loss.r_patch**2), self.loss.r_patch, rng
+            )
+        self.train_dataset.change_sampling_rays(self.num_rays, rng)
+
+    def _device_batch(self, model_input, ground_truth, indices):
+        batch = {
+            "uv": jnp.asarray(model_input["uv"], jnp.float32),
+            "object_mask": jnp.asarray(model_input["object_mask"]),
+            "intrinsics": jnp.asarray(model_input["intrinsics"], jnp.float32),
+        }
+        if self.train_cameras:
+            batch["pose"] = self.pose_vecs[jnp.asarray(indices)]
+        else:
+            batch["pose"] = jnp.asarray(model_input["pose"], jnp.float32)
+        gt = {"rgb": jnp.asarray(ground_truth["rgb"], jnp.float32)}
+        return batch, gt
+
+    # ------------------------------------------------------------------
+    def run(self):
+        mse2psnr = lambda x: -10.0 * np.log(x + 1e-8) / np.log(10.0)
+        n_images = len(self.train_dataset)
+        key = jax.random.PRNGKey(self.seed + 1)
+
+        with self.mesh:
+            for epoch in range(self.start_epoch, self.nepochs + 1):
+                if not self.loss.sample_each_iter:
+                    self._sample_pixels(epoch)
+
+                if self.cur_iter > self.max_niters:
+                    self.save_checkpoints(epoch)
+                    print(f"Training reached max iters {self.cur_iter}; exiting")
+                    return
+
+                order = np.random.default_rng(epoch).permutation(n_images)
+                for img_i in order[: max(1, n_images // self.batch_size)]:
+                    if self.loss.sample_each_iter:
+                        self._sample_pixels(self.cur_iter)
+
+                    if self.cur_iter % self.ckpt_freq == 0:
+                        self.save_checkpoints(epoch)
+                    if self.plot_freq > 0 and self.cur_iter % max(self.plot_freq // self.batch_size, 1) == 0:
+                        self.vis("train", self.cur_iter)
+                    if self.val_freq > 0 and self.cur_iter % max(self.val_freq // self.batch_size, 1) == 0:
+                        self.vis("test", self.cur_iter)
+
+                    idx, model_input, ground_truth = self.train_dataset[int(img_i)]
+                    indices, model_input, ground_truth = self.train_dataset.collate(
+                        [(idx, model_input, ground_truth)]
+                    )
+                    batch, gt = self._device_batch(model_input, ground_truth, indices)
+
+                    fake_r, fake_s = self._fakes()
+                    step = self._get_step(fake_r, fake_s, batch, gt)
+                    key, sub = jax.random.split(key)
+                    alpha = jnp.float32(self._alpha())
+                    (self.params, self.idr_opt_state, self.sg_opt_state,
+                     loss_dict, secondary) = step(
+                        self.params, self.idr_opt_state, self.sg_opt_state,
+                        batch, gt, sub, alpha,
+                    )
+
+                    loss_val = float(loss_dict["loss"])
+                    if not np.isfinite(loss_val):
+                        print("[WARNING] NaN in loss — checkpointing and exiting")
+                        self.save_checkpoints(epoch)
+                        return
+
+                    if self.cur_iter % self.log_freq == 0:
+                        self.log_scalars(epoch, loss_dict, mse2psnr, float(alpha))
+
+                    if (
+                        self.secondary_train_interval > 0
+                        and self.cur_iter % self.secondary_train_interval == 0
+                        and secondary
+                    ):
+                        key, sub = jax.random.split(key)
+                        self._train_with_secondary(secondary, sub, fake_r, fake_s)
+
+                    self.cur_iter += 1
+
+            self.save_checkpoints(self.nepochs)
+
+    # ------------------------------------------------------------------
+    def _train_with_secondary(self, secondary, key, fake_r, fake_s):
+        """Secondary self-distillation (reference :804-852): take detached
+        secondary hits, keep <= secondary_batch_size (fixed shape via
+        argsort-compaction), expand each to R rays, minimise
+        L1(sg_rgb, idr_rgb)."""
+        pts = np.asarray(secondary["secondary_points"]).reshape(-1, 3)
+        mask = np.asarray(secondary["secondary_mask"]).reshape(-1)
+        dirs = np.asarray(secondary["secondary_dir"]).reshape(-1, 3)
+        if mask.sum() < 1:
+            return
+
+        K = self.secondary_batch_size
+        order = np.argsort(~mask, kind="stable")[:K]
+        valid = mask[order]
+        if order.shape[0] < K:  # pad to the static batch size
+            pad = K - order.shape[0]
+            order = np.concatenate([order, np.zeros(pad, np.int64)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        sel_pts = pts[order]
+        sel_dirs = dirs[order]
+
+        R = max(self.num_rays, 1)
+        batch = {
+            "points": jnp.asarray(np.broadcast_to(sel_pts[:, None, :], (K, R, 3))),
+            "ray_dirs": jnp.asarray(np.broadcast_to(sel_dirs[:, None, :], (K, R, 3))),
+        }
+        step = self._get_secondary_step(fake_r, fake_s)
+        (self.params, self.idr_opt_state, self.sg_opt_state, l) = step(
+            self.params, self.idr_opt_state, self.sg_opt_state,
+            batch, jnp.asarray(valid, jnp.float32), key,
+        )
+        if self.cur_iter % 50 == 0:
+            print(f"\tsecondary_num={int(valid.sum())}/{int(mask.sum())}, "
+                  f"secondary_loss = {float(l):.6f}")
+
+    # ------------------------------------------------------------------
+    def log_scalars(self, epoch, loss_dict, mse2psnr, alpha):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+
+            self._writer = SummaryWriter(os.path.join(self.rundir, "tensorboard"))
+        w = self._writer
+        it = self.cur_iter
+        for k, v in loss_dict.items():
+            w.add_scalar(f"loss/{k}", float(v), it)
+        w.add_scalar("train/alpha", alpha, it)
+        idr_psnr = mse2psnr(float(loss_dict["idr_rgb_loss"]) ** 2)
+        sg_psnr = mse2psnr(float(loss_dict["sg_rgb_loss"]) ** 2)
+        w.add_scalar("train/idr_psnr", idr_psnr, it)
+        w.add_scalar("train/sg_psnr", sg_psnr, it)
+        print(
+            f"{self.expname} [{epoch}] ({it}): loss = {float(loss_dict['loss']):.6f}, "
+            f"idr_rgb = {float(loss_dict['idr_rgb_loss']):.6f}, "
+            f"sg_rgb = {float(loss_dict['sg_rgb_loss']):.6f}, "
+            f"eikonal = {float(loss_dict['eikonal_loss']):.6f}, "
+            f"mask = {float(loss_dict['mask_loss']):.6f}, alpha = {alpha:.1f}"
+        )
+
+    # ------------------------------------------------------------------
+    def vis(self, split: str, it: int, img_idx: int = 0):
+        """Render a full (subsampled) view and write EXR/PNG panels
+        (reference vis_train/vis_test :380-558 + plot_to_disk :560-614)."""
+        dataset = self.plot_dataset if split == "train" else self.test_dataset
+        out = self.render_image(dataset, img_idx)
+        H, W = dataset.img_res
+        stack = np.concatenate(
+            [
+                out["gt"].reshape(H, W, 3),
+                np.clip(out["sg_rgb_values"].reshape(H, W, 3), 0, 1),
+                np.clip(out["idr_rgb_values"].reshape(H, W, 3), 0, 1),
+                np.clip(out["sg_diffuse_albedo_values"].reshape(H, W, 3), 0, 1),
+                (out["normal_values"].reshape(H, W, 3) + 1) / 2,
+            ],
+            axis=1,
+        )
+        path = os.path.join(self.plots_dir, f"{split}_{it}.png")
+        import imageio.v2 as imageio
+
+        imageio.imwrite(path, (np.clip(stack, 0, 1) * 255).astype(np.uint8))
+        exr_io.write(
+            os.path.join(self.plots_dir, f"{split}_{it}_sg_rgb.exr"),
+            out["sg_rgb_values"].reshape(H, W, 3),
+        )
+        if self._writer is not None:
+            self._writer.add_image(
+                f"vis/{split}", stack.transpose(2, 0, 1), it
+            )
+
+    def render_image(self, dataset, img_idx: int = 0) -> Dict[str, np.ndarray]:
+        """Chunked full-image eval render through the shard-mapped forward."""
+        saved_idx, saved_rays = dataset.sampling_idx, dataset.sampling_rays
+        dataset.sampling_idx = None
+        dataset.sampling_rays = None
+        idx, model_input, ground_truth = dataset[img_idx]
+        dataset.sampling_idx, dataset.sampling_rays = saved_idx, saved_rays
+
+        _, model_input, ground_truth = dataset.collate([(idx, model_input, ground_truth)])
+        total = dataset.total_pixels
+        n_pix = utils.pixels_per_chunk(
+            self.memory_capacity_level, 1, self.world_size
+        )
+        n_pix = min(n_pix, total + (-total) % self.world_size)
+        n_pix = max(n_pix - n_pix % self.world_size, self.world_size)
+
+        eval_build = spmd.make_eval_forward(self.model, self.mesh)
+        fn_cache = {}
+
+        def forward(chunk):
+            batch = {
+                "uv": jnp.asarray(chunk["uv"], jnp.float32),
+                "object_mask": jnp.asarray(chunk["object_mask"]),
+                "intrinsics": jnp.asarray(chunk["intrinsics"], jnp.float32),
+                "pose": jnp.asarray(chunk["pose"], jnp.float32),
+            }
+            if "fn" not in fn_cache:
+                fn_cache["fn"] = jax.jit(eval_build(batch))
+            out = fn_cache["fn"](self.params, batch, jax.random.PRNGKey(0))
+            return {k: np.asarray(v) for k, v in out.items()}
+
+        model_input = dict(model_input)
+        if "pose" not in model_input:
+            model_input["pose"] = dataset.pose_all[img_idx][None]
+        with self.mesh:
+            out = utils.chunked_forward(forward, model_input, total, n_pix)
+        out["gt"] = np.asarray(ground_truth["rgb"][0])
+        return out
