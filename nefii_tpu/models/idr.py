@@ -96,6 +96,13 @@ class IDRNetwork:
     fast_multi_ray: bool = False
     render_background: bool = False
     correct_normal: bool = False
+    # TPU perf knobs (semantics-preserving):
+    #  - use_fused_sdf: Pallas VMEM-resident MLP for the (no-grad) tracer path
+    #  - shade_fraction: compact surviving rays to a static budget before
+    #    shading (the reference gathers points[surface_mask] dynamically,
+    #    :359; this is its fixed-shape analogue — 1.0 = shade all rays)
+    use_fused_sdf: bool = False
+    shade_fraction: float = 1.0
 
     # ------------------------------------------------------------------
     @classmethod
@@ -126,7 +133,27 @@ class IDRNetwork:
             fast_multi_ray=conf.get_bool("fast_multi_ray", default=False),
             render_background=conf.get_bool("render_background", default=False),
             correct_normal=correct_normal,
+            use_fused_sdf=conf.get_bool("use_fused_sdf", default=False),
+            shade_fraction=conf.get_float("shade_fraction", default=1.0),
         )
+
+    # ------------------------------------------------------------------
+    def _sdf_closure(self, p_imp):
+        """SDF evaluation closure for the tracer; Pallas-fused on TPU when
+        enabled (the trace carries no gradients, so the forward-only kernel
+        is safe)."""
+        imp = self.implicit_network
+        if self.use_fused_sdf:
+            try:
+                import jax as _jax
+
+                if _jax.default_backend() == "tpu":
+                    from nefii_tpu.ops.pallas.fused_mlp import build_fused_sdf
+
+                    return build_fused_sdf(imp, p_imp)
+            except Exception:
+                pass
+        return lambda x: imp.sdf(p_imp, x)
 
     def init_params(self, key: jax.Array) -> Dict[str, Any]:
         k1, k2, k3 = jax.random.split(key, 3)
@@ -144,16 +171,18 @@ class IDRNetwork:
         p_imp = params["implicit_network"]
         p_rend = params["rendering_network"]
 
+        sdf_fn = self._sdf_closure(p_imp)
+
         def trace(origins, dirs, key, training):
             res = self.ray_tracer(
-                lambda x: imp.sdf(p_imp, x),
+                sdf_fn,
                 origins,
                 jnp.ones((origins.shape[0],), bool),
                 dirs[:, None, :],
                 key=key,
                 training=training,
             )
-            return res.points, res.object_mask, res.dists
+            return res.points, res.object_mask, res.dists, res.n_evals
 
         return ptr.SceneFns(
             trace=trace,
@@ -162,6 +191,7 @@ class IDRNetwork:
             radiance=lambda pts, n, v, f: rend(p_rend, pts, n, v, f),
             feature_size=self.feature_vector_size,
             bounding_sphere=self.object_bounding_sphere,
+            implicit_with_grad=lambda pts: imp.sdf_feature_grad(p_imp, pts),
         )
 
     # ------------------------------------------------------------------
@@ -221,8 +251,9 @@ class IDRNetwork:
         k_trace, k_eik, k_render = jax.random.split(key, 3)
 
         # trace (no gradients through the tracer — reference :344-350)
+        sdf_fn = self._sdf_closure(stop_grad(p_imp))
         trace_res = self.ray_tracer(
-            lambda x: stop_grad(imp.sdf(p_imp, x)),
+            lambda x: stop_grad(sdf_fn(x)),
             stop_grad(cam_loc),
             object_mask,
             stop_grad(ray_dirs),
@@ -266,30 +297,64 @@ class IDRNetwork:
             differentiable_points = points
 
         view_dirs = -ray_dirs_flat
+
+        # optional hit-compaction: shade only a static-size budget of rays,
+        # surviving (hit) rays first — the fixed-shape analogue of the
+        # reference's dynamic points[surface_mask] gather (:359). Overflow
+        # hits beyond the budget fall back to default outputs.
+        budget = N
+        # (compaction at ray granularity would break the per-pixel mean of
+        # the non-fast multi-ray path, so it's limited to the other modes)
+        if self.shade_fraction < 1.0 and (not multi_ray or self.fast_multi_ray):
+            budget = min(max(int(N * self.shade_fraction + 0.5), 128), N)
+        compact = budget < N
+        if compact:
+            order = jnp.argsort(~surface_mask, stable=True)
+            sel = order[:budget]
+            shade_pts = differentiable_points[sel]
+            shade_view = view_dirs[sel]
+        else:
+            sel = None
+            shade_pts, shade_view = differentiable_points, view_dirs
+
         ret = self.get_rbg_value(
-            params, differentiable_points, view_dirs, k_render,
+            params, shade_pts, shade_view, k_render,
             multi_ray_R=(R if (multi_ray and self.fast_multi_ray) else None),
             training=training, freeze_geo=freeze_geo,
             fake_roughness=fake_roughness, fake_specular=fake_specular,
         )
 
         if multi_ray and self.fast_multi_ray:
-            # shaded quantities come back at N*R; reduce to N per-pixel means
+            # shaded quantities come back at budget*R; reduce to per-pixel means
             for k in (
                 "idr_rgb", "sg_rgb", "sg_specular_rgb", "sg_diffuse_rgb",
                 "sg_diffuse_albedo",
             ):
-                ret[k] = self.mean_pixel(ret[k], N, R)
+                ret[k] = self.mean_pixel(ret[k], budget, R)
             if self.envmap_material_network.roughness_mlp:
-                ret["sg_roughness"] = self.mean_pixel(ret["sg_roughness"], N, R)
+                ret["sg_roughness"] = self.mean_pixel(ret["sg_roughness"], budget, R)
             if self.envmap_material_network.specular_mlp and not self.envmap_material_network.fix_specular_albedo:
                 ret["sg_specular_reflectance"] = self.mean_pixel(
-                    ret["sg_specular_reflectance"], N, R
+                    ret["sg_specular_reflectance"], budget, R
                 )
             if ret.get("sg_blending_weights") is not None:
                 ret["sg_blending_weights"] = self.mean_pixel(
-                    ret["sg_blending_weights"], N, R
+                    ret["sg_blending_weights"], budget, R
                 )
+
+        if compact:
+            # scatter per-ray outputs back to dense [N]; rays outside the
+            # budget keep zeros (masked to defaults below). Secondary arrays
+            # stay at budget size (only used for self-distillation).
+            def scatter(v):
+                if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == budget:
+                    dense = jnp.zeros((N,) + v.shape[1:], v.dtype)
+                    return dense.at[sel].set(v)
+                return v
+            for k in list(ret.keys()):
+                if not k.startswith("secondary"):
+                    ret[k] = scatter(ret[k])
+            surface_mask = jnp.zeros((N,), bool).at[sel].set(surface_mask[sel])
 
         # mask: non-surface pixels get the defaults (ones/zeros, :400-407)
         m = surface_mask[:, None]
@@ -339,6 +404,9 @@ class IDRNetwork:
             "secondary_points": ret.get("secondary_points"),
             "secondary_mask": ret.get("secondary_mask"),
             "secondary_dir": ret.get("secondary_dir"),
+            # SDF point-samples actually executed (primary trace + secondary
+            # traces + visibility queries) — the bench's ray-samples metric
+            "n_sdf_evals": trace_res.n_evals + ret.get("n_sdf_evals", 0),
         }
 
         if multi_ray and not self.fast_multi_ray:
@@ -387,11 +455,11 @@ class IDRNetwork:
         imp = self.implicit_network
         p_imp = params["implicit_network"]
 
-        feature_vectors = None
-        if self.feature_vector_size > 0:
-            feature_vectors = imp(p_imp, points)[:, 1:]
-
-        g = imp.gradient(p_imp, points)
+        # one fused forward+backward gives features AND normals (vs the
+        # reference's two forwards + double-backprop, :533-540)
+        _, feature_vectors, g = imp.sdf_feature_grad(p_imp, points)
+        if self.feature_vector_size == 0:
+            feature_vectors = None
         if freeze_geo or not training:
             g = stop_grad(g)
         normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-6)

@@ -142,3 +142,19 @@ class ImplicitNetwork:
     def sdf_and_feature(self, params: Dict[str, Any], pts: jnp.ndarray):
         out = self(params, pts)
         return out[..., 0], out[..., 1:]
+
+    def sdf_feature_grad(self, params: Dict[str, Any], pts: jnp.ndarray):
+        """(sdf [...], feature [...,F], grad [...,3]) in ONE forward+backward.
+
+        The shading path needs all three at the same points (reference
+        :529-540 runs the net twice plus a double-backprop); value_and_grad
+        with aux shares the forward, saving a full MLP evaluation per
+        shading call on the hot path.
+        """
+
+        def f(p):
+            out = self(params, p)
+            return out[..., 0].sum(), out
+
+        grad, out = jax.grad(f, has_aux=True)(pts)
+        return out[..., 0], out[..., 1:], grad

@@ -54,6 +54,9 @@ class SceneFns(NamedTuple):
     radiance: Callable
     feature_size: int = 0
     bounding_sphere: float = 1.0
+    # optional fused pts -> (sdf [P], feature [P,F], grad [P,3]) — one
+    # forward+backward instead of two forwards + a backward (hot path)
+    implicit_with_grad: Optional[Callable] = None
 
 
 # ---------------------------------------------------------------------------
@@ -108,8 +111,14 @@ def visibility_and_indirect(
     Reference: get_visibility_and_indirect_light (path_tracing_render.py:
     2109-2166). Dense evaluation, masked at the end.
     """
-    out = scene.implicit(light_points)
-    sdf_value = jax.nn.relu(out[:, 0:1])
+    fused = (not diff_geo) and scene.implicit_with_grad is not None
+    if fused:
+        sdf_raw, feats_all, g = scene.implicit_with_grad(light_points)
+        sdf_value = jax.nn.relu(sdf_raw[:, None])
+        out = None
+    else:
+        out = scene.implicit(light_points)
+        sdf_value = jax.nn.relu(out[:, 0:1])
 
     if diff_geo:
         alpha = 50.0
@@ -130,14 +139,18 @@ def visibility_and_indirect(
     else:
         dsp = light_points
 
-    g = scene.implicit_grad(dsp)
+    if not fused:
+        g = scene.implicit_grad(dsp)
     if not diff_geo:
         g = stop_grad(g)
     normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-6)
     view_dirs = -wi
     view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
 
-    feats = out[:, 1:] if scene.feature_size > 0 else None
+    if scene.feature_size > 0:
+        feats = feats_all if fused else out[:, 1:]
+    else:
+        feats = None
     idr_rgb = scene.radiance(dsp, normals, view_dirs, feats)
     idr_rgb = jnp.where(hit_mask, idr_rgb, 0.0)
     return visibility, idr_rgb
@@ -248,14 +261,18 @@ def pt_render_core(
 
         def trace_one(args):
             wi, k = args
-            lp, hm, ds = scene.trace(pts_flat, wi, k, trace_training)
-            return stop_grad(lp), hm, stop_grad(ds)
+            res = scene.trace(pts_flat, wi, k, trace_training)
+            lp, hm, ds = res[0], res[1], res[2]
+            ne = res[3] if len(res) > 3 else jnp.int32(0)
+            return stop_grad(lp), hm, stop_grad(ds), ne
 
         trace_keys = jax.random.split(keys[S], S)
         if speed_first:
             all_pts = jnp.tile(pts_flat, (S, 1))
             all_dirs = jnp.concatenate(wi_list, axis=0)
-            lp, hm, ds = scene.trace(all_pts, all_dirs, trace_keys[0], trace_training)
+            res = scene.trace(all_pts, all_dirs, trace_keys[0], trace_training)
+            lp, hm, ds = res[0], res[1], res[2]
+            n_trace_evals = res[3] if len(res) > 3 else jnp.int32(0)
             lp, ds = stop_grad(lp), stop_grad(ds)
             for i in range(S):
                 hit_list.append(
@@ -265,6 +282,7 @@ def pt_render_core(
             stacked = jax.lax.map(
                 trace_one, (jnp.stack(wi_list), trace_keys)
             )
+            n_trace_evals = stacked[3].sum()
             for i in range(S):
                 hit_list.append((stacked[0][i], stacked[1][i][:, None], stacked[2][i][:, None]))
 
@@ -359,6 +377,9 @@ def pt_render_core(
         ret["secondary_points"] = jnp.stack([h[0] for h in hit_list], 0)   # [S,N,3]
         ret["secondary_mask"] = jnp.stack([h[1] for h in hit_list], 0)     # [S,N,1]
         ret["secondary_dir"] = jnp.stack(wi_list, 0)                       # [S,N,3]
+        # secondary SDF point-samples: trace + one visibility eval per ray
+        vis_evals = S * N if shadow in ("soft", "indirect") else 0
+        ret["n_sdf_evals"] = n_trace_evals + jnp.int32(vis_evals)
     return ret
 
 

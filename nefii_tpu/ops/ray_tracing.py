@@ -27,7 +27,7 @@ jittable (SURVEY.md §7.4 item 3).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,7 @@ class TraceResult(NamedTuple):
     points: jnp.ndarray        # [N, 3] surface (or fallback) points
     object_mask: jnp.ndarray   # [N] bool — network thinks the ray hit
     dists: jnp.ndarray         # [N] distance along the ray
+    n_evals: Any = 0  # SDF point-evaluations actually executed (traced i32)
 
 
 @dataclass(frozen=True)
@@ -94,7 +95,7 @@ class RayTracer:
         mask_intersect = mask_intersect.reshape(N)
         object_mask = object_mask.reshape(N)
 
-        (acc_start, acc_end, unfinished_start, min_dis, max_dis) = self._sphere_trace(
+        (acc_start, acc_end, unfinished_start, min_dis, max_dis, n_evals) = self._sphere_trace(
             sdf_fn, cam, dirs, mask_intersect, near, far
         )
 
@@ -103,16 +104,17 @@ class RayTracer:
         sampler_mask = unfinished_start
 
         # fallback sampler for rays the tracer did not converge on
-        sampler_pts, sampler_obj, sampler_dists = self._ray_sampler(
+        sampler_pts, sampler_obj, sampler_dists, sampler_evals = self._ray_sampler(
             sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
         )
+        n_evals = n_evals + sampler_evals
         dists = jnp.where(sampler_mask, sampler_dists, dists)
         network_object_mask = jnp.where(sampler_mask, sampler_obj, network_object_mask)
 
         points = cam + dists[:, None] * dirs
 
         if not training:
-            return TraceResult(points, network_object_mask, dists)
+            return TraceResult(points, network_object_mask, dists, n_evals)
 
         # ---- training extras: min-SDF points for the mask loss -------------
         in_mask = (~network_object_mask) & object_mask & (~sampler_mask)
@@ -129,13 +131,14 @@ class RayTracer:
         min_dis = jnp.where(network_object_mask & out_mask, acc_start, min_dis)
         if key is None:
             key = jax.random.PRNGKey(0)
-        min_pts_dist = self._minimal_sdf_points(
+        min_pts_dist, minsdf_evals = self._minimal_sdf_points(
             sdf_fn, cam, dirs, min_dis, max_dis, mask, key
         )
+        n_evals = n_evals + minsdf_evals
         dists = jnp.where(mask, min_pts_dist, dists)
 
         points = cam + dists[:, None] * dirs
-        return TraceResult(points, network_object_mask, dists)
+        return TraceResult(points, network_object_mask, dists, n_evals)
 
     # ------------------------------------------------------------------
     def _sphere_trace(self, sdf_fn, cam, dirs, mask_intersect, near, far):
@@ -158,6 +161,7 @@ class RayTracer:
             return jnp.where(m_s, sd[:N], 0.0), jnp.where(m_e, sd[N:], 0.0)
 
         next_s, next_e = masked_sdf_both(acc_start, acc_end, unf_s, unf_e)
+        n_evals0 = jnp.int32(2 * N)
 
         def head(unf_s, unf_e, next_s, next_e):
             curr_s = jnp.where(unf_s, next_s, 0.0)
@@ -173,20 +177,21 @@ class RayTracer:
             return (jnp.any(unf_s) | jnp.any(unf_e)) & (it < self.sphere_tracing_iters)
 
         def body(state):
-            it, curr_s, curr_e, unf_s, unf_e, acc_s, acc_e = state
+            it, curr_s, curr_e, unf_s, unf_e, acc_s, acc_e, n_ev = state
             acc_s = acc_s + curr_s
             acc_e = acc_e - curr_e
             next_s, next_e = masked_sdf_both(acc_s, acc_e, unf_s, unf_e)
+            n_ev = n_ev + 2 * N
 
             # back-step line search for rays that crossed the surface
             def ls_cond(c):
-                j, next_s, next_e, _, _ = c
+                j, next_s, next_e, _, _, _ = c
                 return (jnp.any(next_s < 0) | jnp.any(next_e < 0)) & (
                     j < self.line_step_iters
                 )
 
             def ls_body(c):
-                j, next_s, next_e, acc_s, acc_e = c
+                j, next_s, next_e, acc_s, acc_e, n_ev = c
                 np_s = next_s < 0
                 np_e = next_e < 0
                 factor = (1.0 - self.line_search_step) * jnp.exp2(-j.astype(jnp.float32))
@@ -195,21 +200,21 @@ class RayTracer:
                 sd_s, sd_e = masked_sdf_both(acc_s, acc_e, np_s, np_e)
                 next_s = jnp.where(np_s, sd_s, next_s)
                 next_e = jnp.where(np_e, sd_e, next_e)
-                return j + 1, next_s, next_e, acc_s, acc_e
+                return j + 1, next_s, next_e, acc_s, acc_e, n_ev + 2 * N
 
-            _, next_s, next_e, acc_s, acc_e = jax.lax.while_loop(
-                ls_cond, ls_body, (jnp.int32(0), next_s, next_e, acc_s, acc_e)
+            _, next_s, next_e, acc_s, acc_e, n_ev = jax.lax.while_loop(
+                ls_cond, ls_body, (jnp.int32(0), next_s, next_e, acc_s, acc_e, n_ev)
             )
 
             not_crossed = acc_s < acc_e
             unf_s = unf_s & not_crossed
             unf_e = unf_e & not_crossed
             curr_s, curr_e, unf_s, unf_e = head(unf_s, unf_e, next_s, next_e)
-            return it + 1, curr_s, curr_e, unf_s, unf_e, acc_s, acc_e
+            return it + 1, curr_s, curr_e, unf_s, unf_e, acc_s, acc_e, n_ev
 
-        state = (jnp.int32(0), curr_s, curr_e, unf_s, unf_e, acc_start, acc_end)
-        _, _, _, unf_s, unf_e, acc_start, acc_end = jax.lax.while_loop(cond, body, state)
-        return acc_start, acc_end, unf_s, min_dis, max_dis
+        state = (jnp.int32(0), curr_s, curr_e, unf_s, unf_e, acc_start, acc_end, n_evals0)
+        _, _, _, unf_s, unf_e, acc_start, acc_end, n_evals = jax.lax.while_loop(cond, body, state)
+        return acc_start, acc_end, unf_s, min_dis, max_dis, n_evals
 
     # ------------------------------------------------------------------
     def _ray_sampler(
@@ -231,7 +236,7 @@ class RayTracer:
         # compact: stable argsort with unfinished rays first
         order = jnp.argsort(~sampler_mask, stable=True)
         sel = order[:budget]
-        pts, obj, dist = self._ray_sampler_dense(
+        pts, obj, dist, n_ev = self._ray_sampler_dense(
             sdf_fn,
             cam[sel],
             dirs[sel],
@@ -248,7 +253,7 @@ class RayTracer:
         full_pts = full_pts.at[sel].set(pts)
         full_obj = full_obj.at[sel].set(obj)
         full_dist = full_dist.at[sel].set(dist)
-        return full_pts, full_obj, full_dist
+        return full_pts, full_obj, full_dist, n_ev
 
     def _ray_sampler_dense(
         self, sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
@@ -288,11 +293,12 @@ class RayTracer:
         sdf_high = sdf_at_idx
         z_low = take(pts_intervals, prev)
         sdf_low = take(sdf_val, prev)
-        z_pred = self._bisection(sdf_fn, sdf_low, sdf_high, z_low, z_high, cam, dirs)
+        z_pred, bisect_evals = self._bisection(sdf_fn, sdf_low, sdf_high, z_low, z_high, cam, dirs)
         sampler_dists = jnp.where(rootfind_pts, z_pred, sampler_dists)
 
         sampler_pts = cam + sampler_dists[:, None] * dirs
-        return sampler_pts, sampler_net_obj_mask, sampler_dists
+        n_ev = jnp.int32(N * n) + bisect_evals
+        return sampler_pts, sampler_net_obj_mask, sampler_dists, n_ev
 
     def _bisection(self, sdf_fn, sdf_low, sdf_high, z_low, z_high, cam, dirs):
         """Masked bisection (reference `rootfind`, ray_tracing.py:259-280)."""
@@ -314,10 +320,10 @@ class RayTracer:
             work = work & ((z_high - z_low) > 1e-6)
             return i + 1, work, z_low, z_high, z_mid
 
-        _, _, _, _, z_mid = jax.lax.while_loop(
+        iters, _, _, _, z_mid = jax.lax.while_loop(
             cond, body, (jnp.int32(0), work, z_low, z_high, z_mid)
         )
-        return z_mid
+        return z_mid, iters * jnp.int32(cam.shape[0])
 
     # ------------------------------------------------------------------
     def _minimal_sdf_points(self, sdf_fn, cam, dirs, min_dis, max_dis, mask, key):
@@ -336,10 +342,10 @@ class RayTracer:
             return jnp.take_along_axis(steps, mi[:, None], axis=1)[:, 0]
 
         if budget is None or budget >= N:
-            return dense(cam, dirs, min_dis, max_dis)
+            return dense(cam, dirs, min_dis, max_dis), jnp.int32(N * n)
 
         order = jnp.argsort(~mask, stable=True)
         sel = order[:budget]
         d = dense(cam[sel], dirs[sel], min_dis[sel], max_dis[sel])
         out = min_dis  # fallback for overflow rays
-        return out.at[sel].set(d)
+        return out.at[sel].set(d), jnp.int32(budget * n)
