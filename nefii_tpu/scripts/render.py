@@ -1,0 +1,210 @@
+"""Novel-view decomposition rendering.
+
+Equivalent of the reference scripts/render.py:30-497: restore a checkpoint,
+render the test split at full resolution with multi-ray anti-aliasing
+(`--num_rays 256`), and write per-view EXRs — gt, rerender_rgb, diffuse_rgb,
+specular_rgb, diffuse_albedo, roughness, specular_reflection — plus a
+stacked preview png and envmap.exr.
+
+TPU-native: instead of DDP ray-shard scatter + pickled gather_object
+(reference :283-356), rays are chunked into fixed-size batches and each
+chunk runs through the shard-mapped eval forward over the device mesh; chunk
+outputs are reassembled host-side in order (no remapping needed — shapes are
+static).
+
+    python -m nefii_tpu.scripts.render --conf confs/conf.conf \
+        --data_split_dir <scene_test> --old_expdir exps/robot \
+        --timestamp latest --num_rays 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def add_argument(parser):
+    from nefii_tpu.training.exp_runner import add_argument as base_args
+
+    parser = base_args(parser)
+    parser.add_argument("--num_rays", type=int, default=64,
+                        help="anti-aliasing rays per pixel")
+    parser.add_argument("--out_dir", type=str, default="")
+    parser.add_argument("--max_views", type=int, default=-1)
+    parser.add_argument("--envmap_size", type=int, nargs=2, default=[256, 512])
+    return parser
+
+
+class RenderRunner:
+    def __init__(self, **kwargs):
+        import jax
+
+        from nefii_tpu.config import ConfigFactory, ConfigTree, get_class
+        from nefii_tpu.parallel.mesh import make_mesh
+        from nefii_tpu.utils import checkpoints as ckpt
+
+        conf = kwargs["conf"]
+        self.conf = conf if isinstance(conf, ConfigTree) else ConfigFactory.parse_file(conf)
+        self.num_rays = kwargs.get("num_rays", 64)
+        self.memory_capacity_level = kwargs.get("memory_capacity_level", 18)
+        self.coordinate_type = kwargs.get("coordinate_type", "mitsuba")
+
+        dataset_class = get_class(self.conf.get_string("train.dataset_class"))
+        self.dataset = dataset_class(
+            kwargs.get("gamma", 1.0), kwargs["data_split_dir"], False,
+            kwargs.get("subsample", 1), wo_mask=kwargs.get("wo_mask", False),
+        )
+
+        model_class = get_class(self.conf.get_string("train.model_class"))
+        self.model = model_class.from_conf(self.conf.get_config("model"))
+        self.mesh = make_mesh()
+        self.world_size = self.mesh.devices.size
+
+        self.params = self.model.init_params(jax.random.PRNGKey(0))
+        expdir = kwargs.get("old_expdir") or os.path.join(
+            kwargs.get("exps_folder_name", "exps"),
+            kwargs.get("expname") or self.conf.get_string("train.expname", default="default"),
+        )
+        timestamp = kwargs.get("timestamp", "latest")
+        if timestamp == "latest" and os.path.isdir(expdir):
+            stamps = sorted(os.listdir(expdir))
+            timestamp = stamps[-1]
+        ckdir = os.path.join(expdir, timestamp, "checkpoints")
+        self.params, _ = ckpt.load_collection(
+            ckdir, ckpt.MODEL, kwargs.get("checkpoint", "latest"), self.params
+        )
+        print(f"restored checkpoint from {ckdir}")
+
+        self.out_dir = kwargs.get("out_dir") or os.path.join(expdir, timestamp, "renders")
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.envmap_size = tuple(kwargs.get("envmap_size", (256, 512)))
+        self.max_views = kwargs.get("max_views", -1)
+
+    # ------------------------------------------------------------------
+    def render_view(self, img_idx: int):
+        """Full-resolution render of one view with multi-ray AA."""
+        import jax
+        import jax.numpy as jnp
+
+        from nefii_tpu.parallel import spmd
+        from nefii_tpu.utils import general as utils
+
+        ds = self.dataset
+        ds.sampling_idx = None
+        rng = np.random.default_rng(img_idx)
+        ds.change_sampling_rays(self.num_rays if self.num_rays > 1 else -1, rng)
+        idx, model_input, ground_truth = ds[img_idx]
+        _, model_input, ground_truth = ds.collate([(idx, model_input, ground_truth)])
+        ds.change_sampling_rays(-1)
+
+        total = ds.total_pixels
+        rays_per_px = max(self.num_rays, 1)
+        n_pix = utils.pixels_per_chunk(
+            self.memory_capacity_level, rays_per_px, self.world_size
+        )
+        n_pix = max(min(n_pix, total), self.world_size)
+        n_pix -= n_pix % self.world_size
+
+        if "pose" not in model_input:
+            model_input = dict(model_input)
+            model_input["pose"] = ds.pose_all[img_idx][None]
+
+        eval_build = spmd.make_eval_forward(self.model, self.mesh)
+        cache = {}
+
+        def forward(chunk):
+            batch = {
+                "uv": jnp.asarray(chunk["uv"], jnp.float32),
+                "object_mask": jnp.asarray(chunk["object_mask"]),
+                "intrinsics": jnp.asarray(chunk["intrinsics"], jnp.float32),
+                "pose": jnp.asarray(chunk["pose"], jnp.float32),
+            }
+            if "fn" not in cache:
+                cache["fn"] = jax.jit(eval_build(batch))
+            out = cache["fn"](self.params, batch, jax.random.PRNGKey(img_idx))
+            return {k: np.asarray(v) for k, v in out.items()}
+
+        with self.mesh:
+            out = utils.chunked_forward(forward, model_input, total, n_pix)
+        out["gt"] = np.asarray(ground_truth["rgb"][0])
+        return out
+
+    # ------------------------------------------------------------------
+    def write_view(self, img_idx: int, out):
+        import imageio.v2 as imageio
+
+        from nefii_tpu.utils import exr as exr_io
+
+        H, W = self.dataset.img_res
+        d = self.out_dir
+
+        def img(key):
+            v = out[key]
+            if v.ndim == 1 or v.shape[-1] == 1:
+                v = np.tile(v.reshape(H, W, 1), (1, 1, 3))
+            return v.reshape(H, W, 3)
+
+        panels = {
+            "gt": img("gt"),
+            "rerender_rgb": img("sg_rgb_values"),
+            "diffuse_rgb": img("sg_diffuse_rgb_values"),
+            "specular_rgb": img("sg_specular_rgb_values"),
+            "diffuse_albedo": img("sg_diffuse_albedo_values"),
+            "roughness": img("sg_roughness_values"),
+            "specular_reflection": img("sg_specular_reflection_values"),
+        }
+        for name, data in panels.items():
+            exr_io.write(os.path.join(d, f"{name}_{img_idx:03d}.exr"), data)
+
+        stack = np.concatenate(
+            [np.clip(panels[k], 0, 1) for k in
+             ("gt", "rerender_rgb", "diffuse_rgb", "specular_rgb",
+              "diffuse_albedo", "roughness")], axis=1,
+        )
+        imageio.imwrite(
+            os.path.join(d, f"render_{img_idx:03d}.png"),
+            (stack * 255).astype(np.uint8),
+        )
+
+    def write_envmap(self):
+        import jax.numpy as jnp
+
+        from nefii_tpu.ops.sg import compute_envmap
+        from nefii_tpu.utils import exr as exr_io
+
+        em = self.model.envmap_material_network
+        lgt = em.get_lgtSGs(self.params["envmap_material_network"])
+        env = np.asarray(
+            compute_envmap(
+                jnp.asarray(lgt), *self.envmap_size,
+                coordinate_type=self.coordinate_type,
+                envmap_type=em.light_type if em.light_type != "sg" else "sg",
+            )
+        )
+        exr_io.write(os.path.join(self.out_dir, "envmap.exr"), env)
+
+    # ------------------------------------------------------------------
+    def run(self):
+        n = len(self.dataset)
+        if self.max_views > 0:
+            n = min(n, self.max_views)
+        for i in range(n):
+            out = self.render_view(i)
+            self.write_view(i, out)
+            print(f"rendered view {i+1}/{n}")
+        self.write_envmap()
+        print("outputs in", self.out_dir)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser = add_argument(parser)
+    opt = parser.parse_args(argv)
+    runner = RenderRunner(**vars(opt))
+    runner.run()
+
+
+if __name__ == "__main__":
+    main()

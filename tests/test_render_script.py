@@ -1,0 +1,80 @@
+"""End-to-end render + evaluate scripts on the synthetic sphere scene."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nefii_tpu.config import parse_string
+from nefii_tpu.scripts.render import RenderRunner
+from nefii_tpu.training.trainer import IDRTrainRunner
+from nefii_tpu.utils import exr
+
+from test_trainer import TRAIN_CONF, scene_dir  # noqa: F401  (fixture)
+
+
+@pytest.fixture(scope="module")
+def trained_exp(scene_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("exp")
+    runner = IDRTrainRunner(
+        conf=parse_string(TRAIN_CONF), data_split_dir=scene_dir,
+        data_split_dir_test=scene_dir, gamma=1.0,
+        exps_folder_name=str(d), nepochs=1, max_niters=10,
+        secondary_train_interval=-1, memory_capacity_level=12,
+    )
+    runner.run()
+    return str(d), runner.timestamp
+
+
+def test_render_script_writes_outputs(scene_dir, trained_exp, tmp_path):
+    exps_dir, timestamp = trained_exp
+    out_dir = str(tmp_path / "renders")
+    runner = RenderRunner(
+        conf=parse_string(TRAIN_CONF), data_split_dir=scene_dir,
+        old_expdir=os.path.join(exps_dir, "test_scene"), timestamp=timestamp,
+        gamma=1.0, num_rays=2, memory_capacity_level=12, out_dir=out_dir,
+        max_views=1,
+    )
+    runner.run()
+
+    for name in ("gt", "rerender_rgb", "diffuse_rgb", "specular_rgb",
+                 "diffuse_albedo", "roughness", "specular_reflection"):
+        path = os.path.join(out_dir, f"{name}_000.exr")
+        assert os.path.exists(path), name
+        img = exr.read(path)
+        assert np.isfinite(img).all(), name
+    assert os.path.exists(os.path.join(out_dir, "render_000.png"))
+    assert os.path.exists(os.path.join(out_dir, "envmap.exr"))
+
+    # gt EXR roundtrips the dataset image
+    H, W = runner.dataset.img_res
+    gt = exr.read(os.path.join(out_dir, "gt_000.exr"))
+    np.testing.assert_allclose(
+        gt.reshape(-1, 3), runner.dataset.rgb_images[0], atol=1e-5
+    )
+
+
+def test_evaluate_script(scene_dir, trained_exp, tmp_path):
+    import shutil
+
+    from nefii_tpu.scripts.evaluate import main as eval_main
+
+    exps_dir, timestamp = trained_exp
+    out_dir = str(tmp_path / "renders")
+    runner = RenderRunner(
+        conf=parse_string(TRAIN_CONF), data_split_dir=scene_dir,
+        old_expdir=os.path.join(exps_dir, "test_scene"), timestamp=timestamp,
+        gamma=1.0, num_rays=-1, memory_capacity_level=12, out_dir=out_dir,
+        max_views=1,
+    )
+    runner.run()
+    # rename to the reference's prediction naming
+    shutil.copy(
+        os.path.join(out_dir, "rerender_rgb_000.exr"),
+        os.path.join(out_dir, "rerender_rgb-000.exr"),
+    )
+
+    result = eval_main(out_dir, scene_dir, out_path=str(tmp_path / "results.txt"))
+    assert "rgb" in result
+    assert np.isfinite(result["rgb"]["psnr"][0])
+    assert os.path.exists(str(tmp_path / "results.txt"))

@@ -1,0 +1,147 @@
+"""Tools-layer tests: metrics, envmap fitting/rotation, converters, surface
+export, and the render-script end-to-end flow."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nefii_tpu.utils import metrics
+
+
+def test_psnr_ssim_identity():
+    rng = np.random.RandomState(0)
+    img = rng.rand(64, 64, 3).astype(np.float32)
+    assert metrics.psnr(img, img) > 100
+    assert abs(metrics.ssim(img, img) - 1.0) < 1e-6
+    assert abs(metrics.ms_ssim(img, img) - 1.0) < 1e-4
+
+    noisy = np.clip(img + rng.randn(64, 64, 3) * 0.1, 0, 1).astype(np.float32)
+    p = metrics.psnr(noisy, img)
+    assert 15 < p < 25  # sigma 0.1 -> ~20dB
+    assert metrics.ssim(noisy, img) < 0.99
+    assert metrics.ms_ssim(noisy, img) < 0.999
+
+
+def test_psnr_masked():
+    img = np.zeros((8, 8, 3), np.float32)
+    noisy = img.copy()
+    noisy[:4] = 1.0  # corrupt the top half
+    mask = np.zeros((8, 8), bool)
+    mask[4:] = True
+    assert metrics.psnr(noisy, img, mask) > 100  # clean region only
+    assert metrics.psnr(noisy, img) < 10
+
+
+def test_fit_envmap_sg_converges():
+    from nefii_tpu.ops.sg import compute_envmap
+    from nefii_tpu.scripts.fit_envmap_with_sg import fit_envmap_sg
+
+    # ground truth: 4 known SGs
+    gt_sgs = np.array(
+        [
+            [0, 1, 0, 10, 2, 1, 0.5],
+            [1, 0, 0, 6, 0.5, 1, 1],
+            [0, 0, 1, 8, 1, 0.2, 0.2],
+            [0, -1, 0, 5, 0.3, 0.3, 0.9],
+        ],
+        np.float32,
+    )
+    gt_env = np.asarray(compute_envmap(jnp.asarray(gt_sgs), 32, 64))
+    lgt, loss = fit_envmap_sg(gt_env, num_sgs=8, n_iter=800, lr=5e-2, seed=0)
+    assert loss < 0.01 * gt_env.var(), loss
+
+
+def test_rotate_lightsg():
+    from nefii_tpu.scripts.envmap_tools import euler_rotation, rotate_lightsg
+
+    rng = np.random.RandomState(1)
+    lgt = rng.randn(16, 7).astype(np.float32)
+    rot = euler_rotation("z", [90])
+    out = rotate_lightsg(lgt, rot)
+    # lambdas/mus preserved (abs), lobes rotated and unit-norm
+    np.testing.assert_allclose(out[:, 3], np.abs(lgt[:, 3]), rtol=1e-5)
+    np.testing.assert_allclose(out[:, 4:], np.abs(lgt[:, 4:]), rtol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(out[:, :3], axis=1), 1.0, atol=1e-5)
+    lobes = lgt[:, :3] / np.linalg.norm(lgt[:, :3], axis=1, keepdims=True)
+    # 90deg about z: (x,y) -> (-y,x)
+    np.testing.assert_allclose(out[:, 0], -lobes[:, 1], atol=1e-5)
+    np.testing.assert_allclose(out[:, 1], lobes[:, 0], atol=1e-5)
+
+
+def test_converters(tmp_path):
+    from nefii_tpu.scripts.converters import neus2physg
+
+    src = tmp_path / "undist"
+    (src / "image").mkdir(parents=True)
+    (src / "mask").mkdir()
+    import imageio.v2 as imageio
+
+    for i in range(2):
+        imageio.imwrite(str(src / "image" / f"{i:03d}.png"), np.zeros((8, 8, 3), np.uint8))
+        imageio.imwrite(str(src / "mask" / f"{i:03d}.png"), np.full((8, 8), 255, np.uint8))
+
+    # synthetic cameras_sphere: world_mat = K @ W2C, scale_mat = unit
+    data = {}
+    K = np.eye(4); K[0, 0] = K[1, 1] = 20.0; K[0, 2] = K[1, 2] = 4.0
+    for i in range(2):
+        W2C = np.eye(4); W2C[2, 3] = 2.0 + i
+        data[f"world_mat_{i}"] = K @ W2C
+        data[f"camera_mat_{i}"] = K
+        data[f"camera_mat_inv_{i}"] = np.linalg.inv(K)
+        data[f"scale_mat_{i}"] = np.diag([0.5, 0.5, 0.5, 1.0])
+        data[f"scale_mat_inv_{i}"] = np.diag([2.0, 2.0, 2.0, 1.0])
+        data[f"w2c_mat_{i}"] = W2C
+    np.savez(str(src / "cameras_sphere.npz"), **data)
+
+    out = tmp_path / "converted"
+    neus2physg(str(src), str(out), "neus")
+    for tag in ("train", "test"):
+        cam_path = out / tag / "cam_dict_norm.json"
+        assert cam_path.exists()
+        cams = json.load(open(cam_path))
+        assert len(cams) == 2
+        W2C = np.array(cams["000000"]["W2C"]).reshape(4, 4)
+        # normalised W2C = W2C @ diag(r,r,r,1): rotation scaled by the
+        # sphere radius, translation (center=0 here) unchanged
+        np.testing.assert_allclose(W2C[2, 2], 0.5, atol=1e-6)
+        np.testing.assert_allclose(W2C[2, 3], 2.0, atol=1e-6)
+        assert (out / tag / "image" / "000.png").exists()
+
+
+def test_surface_export(tmp_path):
+    from nefii_tpu.utils.mesh_io import load_mesh
+    from nefii_tpu.utils.plots import export_surface, get_surface_trace
+
+    sdf = lambda p: jnp.linalg.norm(p, axis=-1) - 0.5
+    verts, faces = get_surface_trace(sdf, resolution=48, bound=1.0)
+    assert len(verts) > 200 and len(faces) > 200
+    np.testing.assert_allclose(np.linalg.norm(verts, axis=1), 0.5, atol=0.03)
+
+    path = str(tmp_path / "surface.ply")
+    export_surface(sdf, path, resolution=32)
+    v2, f2 = load_mesh(path)
+    assert len(v2) > 50
+
+
+def test_debug_helper_watches():
+    from nefii_tpu.utils import debug_helper as dbg
+
+    dbg.set_debug(True)
+    dbg.clear()
+    x = jnp.array([1.0, 2.0, 3.0])
+
+    def f(v):
+        v = dbg.watch_value(v, "x")
+        v = dbg.watch_gradient(v, "x")
+        return (v**2).sum()
+
+    g = jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(g), [2, 4, 6])
+    rec = dbg.get_records()
+    assert "x/value" in rec and "x/grad" in rec
+    assert abs(rec["x/value"]["mean"] - 2.0) < 1e-6
+    dbg.set_debug(False)
