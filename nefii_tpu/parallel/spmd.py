@@ -60,8 +60,16 @@ def make_grad_fn(
     fake_roughness: bool = False,
     fake_specular: bool = False,
     with_secondary: bool = True,
+    train_cameras: bool = False,
 ):
-    """Build the shard-mapped (loss, grads, secondary) function for training."""
+    """Build the shard-mapped (loss, grads, secondary) function for training.
+
+    With `train_cameras`, the step additionally differentiates the camera
+    pose embedding: `pose_vecs` [N_img,7] quaternion+translation rows are
+    gathered by `batch['pose_indices']` into the forward's pose input and a
+    (replicated) gradient w.r.t. the full embedding is returned (non-batch
+    rows receive zero gradient — the reference's SparseAdam rows).
+    """
 
     from nefii_tpu.models.idr import PT_RENDER_TYPES
 
@@ -73,12 +81,15 @@ def make_grad_fn(
         ("secondary_points", "secondary_mask", "secondary_dir") if has_secondary else ()
     )
 
-    def local_fn(params, batch, gt, key, alpha):
+    def local_fn(params, pose_vecs, batch, gt, key, alpha):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
-        def loss_fn(p):
+        def loss_fn(p, pv):
+            b = dict(batch)
+            if train_cameras:
+                b["pose"] = pv[b.pop("pose_indices")]
             out = model.forward(
-                p, batch, key, training=True, freeze_geo=freeze_geo,
+                p, b, key, training=True, freeze_geo=freeze_geo,
                 fake_roughness=fake_roughness, fake_specular=fake_specular,
             )
             ld = loss(out, gt, alpha=alpha, axis_name=axis_name)
@@ -87,13 +98,16 @@ def make_grad_fn(
         # the psums inside the loss make it a global scalar; shard_map's AD
         # transposes them correctly, so per-shard grads are already the full
         # (replicated) global gradient — no extra psum.
-        (_, (ld, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, (ld, out)), (grads, cam_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, pose_vecs)
         secondary = {k: out[k] for k in secondary_keys if out.get(k) is not None}
-        return ld, grads, secondary
+        return ld, grads, cam_grads, secondary
 
     def build(sample_batch, sample_gt):
         in_specs = (
             P(),  # params replicated
+            P(),  # pose_vecs replicated
             batch_pspec(sample_batch, axis_name),
             batch_pspec(sample_gt, axis_name),
             P(),  # key
@@ -101,13 +115,23 @@ def make_grad_fn(
         )
         out_specs = (
             P(),  # loss dict (replicated scalars)
-            P(),  # grads (psum'd -> replicated)
+            P(),  # grads (replicated)
+            P(),  # cam grads (replicated)
             {k: P(None, axis_name) for k in secondary_keys},
         )
-        return shard_map(
+        fn = shard_map(
             local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            
         )
+        if train_cameras:
+            return fn
+
+        # camera-static wrapper keeping the old 5-arg signature
+        def wrapped(params, batch, gt, key, alpha):
+            dummy = jnp.zeros((1, 7), jnp.float32)
+            ld, grads, _, secondary = fn(params, dummy, batch, gt, key, alpha)
+            return ld, grads, secondary
+
+        return wrapped
 
     return build
 

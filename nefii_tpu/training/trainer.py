@@ -160,9 +160,13 @@ class IDRTrainRunner:
         self.pose_vecs = None
         self.cam_tx = None
         self.cam_opt_state = None
+        if self.train_cameras and self.loss.view_diff_weight > 0:
+            # the reference's view-diff loss is likewise incompatible with
+            # its DDP/pose paths (loss.py:199)
+            raise ValueError("view_diff loss and --train_cameras are mutually exclusive")
         if self.train_cameras:
             self.pose_vecs = jnp.asarray(self.train_dataset.get_pose_init())
-            self.cam_tx = optax.adam(self.conf.get_float("train.learning_rate_cam"))
+            self.cam_tx = optax.adam(self.conf.get_float("train.learning_rate_cam", default=1e-3))
             self.cam_opt_state = self.cam_tx.init(self.pose_vecs)
 
         # ---- pretrained / partial loads ------------------------------------
@@ -284,17 +288,37 @@ class IDRTrainRunner:
             self.model, self.loss, self.mesh,
             freeze_geo=self.freeze_geometry or self.freeze_idr,
             fake_roughness=fake_r, fake_specular=fake_s,
+            train_cameras=self.train_cameras,
         )(sample_batch, sample_gt)
 
-        def step(params, idr_state, sg_state, batch, gt, key, alpha):
-            ld, grads, secondary = grad_fn(params, batch, gt, key, alpha)
-            idr_updates, idr_state = self.idr_tx.update(grads, idr_state, params)
-            params = optax.apply_updates(params, idr_updates)
-            sg_updates, sg_state = self.sg_tx.update(grads, sg_state, params)
-            params = optax.apply_updates(params, sg_updates)
-            return params, idr_state, sg_state, ld, secondary
+        if self.train_cameras:
+            def step(params, pose_vecs, cam_state, idr_state, sg_state, batch, gt, key, alpha):
+                ld, grads, cam_grads, secondary = grad_fn(
+                    params, pose_vecs, batch, gt, key, alpha
+                )
+                idr_updates, idr_state = self.idr_tx.update(grads, idr_state, params)
+                params = optax.apply_updates(params, idr_updates)
+                sg_updates, sg_state = self.sg_tx.update(grads, sg_state, params)
+                params = optax.apply_updates(params, sg_updates)
+                cam_updates, cam_state = self.cam_tx.update(cam_grads, cam_state, pose_vecs)
+                # SparseAdam semantics: only rows with gradient move
+                touched = (jnp.abs(cam_grads).sum(-1, keepdims=True) > 0)
+                pose_vecs = jnp.where(
+                    touched, optax.apply_updates(pose_vecs, cam_updates), pose_vecs
+                )
+                return params, pose_vecs, cam_state, idr_state, sg_state, ld, secondary
 
-        step = jax.jit(step, donate_argnums=(0, 1, 2))
+            step = jax.jit(step, donate_argnums=(0, 1, 2, 3, 4))
+        else:
+            def step(params, idr_state, sg_state, batch, gt, key, alpha):
+                ld, grads, secondary = grad_fn(params, batch, gt, key, alpha)
+                idr_updates, idr_state = self.idr_tx.update(grads, idr_state, params)
+                params = optax.apply_updates(params, idr_updates)
+                sg_updates, sg_state = self.sg_tx.update(grads, sg_state, params)
+                params = optax.apply_updates(params, sg_updates)
+                return params, idr_state, sg_state, ld, secondary
+
+            step = jax.jit(step, donate_argnums=(0, 1, 2))
         self._step_cache[kind] = step
         return step
 
@@ -348,10 +372,63 @@ class IDRTrainRunner:
             "intrinsics": jnp.asarray(model_input["intrinsics"], jnp.float32),
         }
         if self.train_cameras:
-            batch["pose"] = self.pose_vecs[jnp.asarray(indices)]
+            batch["pose_indices"] = jnp.asarray(indices, jnp.int32)
         else:
             batch["pose"] = jnp.asarray(model_input["pose"], jnp.float32)
         gt = {"rgb": jnp.asarray(ground_truth["rgb"], jnp.float32)}
+        return batch, gt
+
+    # ------------------------------------------------------------------
+    def _append_paired_view(self, batch, gt, indices, key):
+        """Cross-view pairing for the view-diff loss (reference :728-747):
+        trace the batch pixels, reproject into a partner view, and append the
+        partner as a second batch row with its fetched gt rgb + visibility."""
+        from nefii_tpu.models.pixel_pair_generator import find_paired_pixel
+
+        ds = self.train_dataset
+        pair_id = [(int(i) + 3) % len(ds) for i in np.asarray(indices)]
+        src_K = jnp.asarray(np.stack([ds.intrinsics_all[i] for i in pair_id]))
+        src_pose = jnp.asarray(np.stack([ds.pose_all[i] for i in pair_id]))
+        src_rgb = jnp.asarray(np.stack([ds.rgb_images[i] for i in pair_id]))
+        src_mask = jnp.asarray(np.stack([ds.object_masks[i] for i in pair_id]))
+
+        uv = batch["uv"]
+        query_uv = uv if uv.ndim == 3 else uv.mean(2)
+        pose = (
+            self.pose_vecs[batch["pose_indices"]]
+            if self.train_cameras else batch["pose"]
+        )
+        paired = find_paired_pixel(
+            self.model, self.params,
+            {
+                "intrinsics": batch["intrinsics"],
+                "pose": pose,
+                "uv": query_uv,
+                "object_mask": batch["object_mask"],
+            },
+            src_K, src_pose, src_rgb, src_mask, tuple(ds.img_res), key,
+        )
+        p_uv = np.asarray(paired["uv"])
+        p_uv = jnp.asarray(ds.batch_ray_sample(p_uv)) if uv.ndim == 4 else jnp.asarray(p_uv)
+
+        batch = dict(batch)
+        batch["uv"] = jnp.concatenate([uv, p_uv], axis=0)
+        batch["object_mask"] = jnp.concatenate(
+            [batch["object_mask"], paired["object_mask"]], axis=0
+        )
+        batch["intrinsics"] = jnp.concatenate([batch["intrinsics"], src_K], axis=0)
+        if self.train_cameras:
+            # partner poses are fixed matrices; pose optimisation with
+            # view-diff uses the snapshot pose for the partner row
+            batch.pop("pose_indices")
+            batch["pose"] = jnp.concatenate([pose, src_pose], axis=0)
+        else:
+            batch["pose"] = jnp.concatenate([batch["pose"], src_pose], axis=0)
+        gt = dict(gt)
+        gt["rgb"] = jnp.concatenate([gt["rgb"], paired["gt_rgb"]], axis=0)
+        gt["pixel_visible"] = paired["pixel_visible"].reshape(
+            batch["object_mask"].shape[0] // 2, -1
+        )
         return batch, gt
 
     # ------------------------------------------------------------------
@@ -387,16 +464,29 @@ class IDRTrainRunner:
                         [(idx, model_input, ground_truth)]
                     )
                     batch, gt = self._device_batch(model_input, ground_truth, indices)
+                    if self.loss.view_diff_weight > 0:
+                        key, sub = jax.random.split(key)
+                        with self.mesh:
+                            batch, gt = self._append_paired_view(batch, gt, indices, sub)
 
                     fake_r, fake_s = self._fakes()
                     step = self._get_step(fake_r, fake_s, batch, gt)
                     key, sub = jax.random.split(key)
                     alpha = jnp.float32(self._alpha())
-                    (self.params, self.idr_opt_state, self.sg_opt_state,
-                     loss_dict, secondary) = step(
-                        self.params, self.idr_opt_state, self.sg_opt_state,
-                        batch, gt, sub, alpha,
-                    )
+                    if self.train_cameras:
+                        (self.params, self.pose_vecs, self.cam_opt_state,
+                         self.idr_opt_state, self.sg_opt_state,
+                         loss_dict, secondary) = step(
+                            self.params, self.pose_vecs, self.cam_opt_state,
+                            self.idr_opt_state, self.sg_opt_state,
+                            batch, gt, sub, alpha,
+                        )
+                    else:
+                        (self.params, self.idr_opt_state, self.sg_opt_state,
+                         loss_dict, secondary) = step(
+                            self.params, self.idr_opt_state, self.sg_opt_state,
+                            batch, gt, sub, alpha,
+                        )
 
                     loss_val = float(loss_dict["loss"])
                     if not np.isfinite(loss_val):
