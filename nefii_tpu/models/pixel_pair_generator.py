@@ -22,6 +22,34 @@ from nefii_tpu.utils.camera import get_camera_params, points2uv
 stop_grad = jax.lax.stop_gradient
 
 
+class PixelPairGenerator:
+    """API-parity wrapper over `find_paired_pixel` (reference class
+    pixel_pair_generator.py:12): holds the dataset + model and gathers the
+    partner-view tensors host-side per call."""
+
+    def __init__(self, dataset, model, params=None):
+        self.dataset = dataset
+        self.model = model
+        self.params = params
+
+    def find_paired_pixel(self, query_cam_data, source_cam_index, key=None, params=None):
+        import numpy as np
+
+        ds = self.dataset
+        idx = [int(i) for i in np.asarray(source_cam_index)]
+        return find_paired_pixel(
+            self.model,
+            params if params is not None else self.params,
+            query_cam_data,
+            jnp.asarray(np.stack([ds.intrinsics_all[i] for i in idx])),
+            jnp.asarray(np.stack([ds.pose_all[i] for i in idx])),
+            jnp.asarray(np.stack([ds.rgb_images[i] for i in idx])),
+            jnp.asarray(np.stack([ds.object_masks[i] for i in idx])),
+            tuple(ds.img_res),
+            key if key is not None else jax.random.PRNGKey(0),
+        )
+
+
 def bilinear_fetch(source_uv: jnp.ndarray, source_img: jnp.ndarray, img_res: Tuple[int, int]):
     """Bilinear sample: uv [N,P,2] from flattened images [N,H*W,C] -> [N,P,C].
 

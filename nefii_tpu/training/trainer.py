@@ -570,33 +570,55 @@ class IDRTrainRunner:
 
     # ------------------------------------------------------------------
     def vis(self, split: str, it: int, img_idx: int = 0):
-        """Render a full (subsampled) view and write EXR/PNG panels
-        (reference vis_train/vis_test :380-558 + plot_to_disk :560-614)."""
+        """Render a full (subsampled) view and write the reference's panel
+        set — gt|sg|idr, diffuse|specular, normal|albedo|roughness, depth —
+        plus sg_rgb EXR and the current envmap (reference vis_train/vis_test
+        :380-558 + plot_to_disk :560-614)."""
+        import imageio.v2 as imageio
+        import jax.numpy as jnp
+
+        from nefii_tpu.ops.sg import compute_envmap
+
         dataset = self.plot_dataset if split == "train" else self.test_dataset
         out = self.render_image(dataset, img_idx)
         H, W = dataset.img_res
-        stack = np.concatenate(
-            [
-                out["gt"].reshape(H, W, 3),
-                np.clip(out["sg_rgb_values"].reshape(H, W, 3), 0, 1),
-                np.clip(out["idr_rgb_values"].reshape(H, W, 3), 0, 1),
-                np.clip(out["sg_diffuse_albedo_values"].reshape(H, W, 3), 0, 1),
-                (out["normal_values"].reshape(H, W, 3) + 1) / 2,
-            ],
-            axis=1,
-        )
-        path = os.path.join(self.plots_dir, f"{split}_{it}.png")
-        import imageio.v2 as imageio
 
-        imageio.imwrite(path, (np.clip(stack, 0, 1) * 255).astype(np.uint8))
+        def im(key, default=None):
+            v = out[key].reshape(H, W, -1)
+            if v.shape[-1] == 1:
+                v = np.tile(v, (1, 1, 3))
+            return np.clip(v, 0, 1)
+
+        row1 = [out["gt"].reshape(H, W, 3), im("sg_rgb_values"), im("idr_rgb_values")]
+        row2 = [im("sg_diffuse_rgb_values"), im("sg_specular_rgb_values"),
+                (out["normal_values"].reshape(H, W, 3) + 1) / 2]
+        row3 = [im("sg_diffuse_albedo_values"), im("sg_roughness_values"),
+                im("sg_specular_reflection_values")]
+        stack = np.concatenate(
+            [np.concatenate([np.clip(p, 0, 1) for p in row], axis=1)
+             for row in (row1, row2, row3)], axis=0,
+        )
+        imageio.imwrite(
+            os.path.join(self.plots_dir, f"{split}_{it}.png"),
+            (np.clip(stack, 0, 1) * 255).astype(np.uint8),
+        )
         exr_io.write(
             os.path.join(self.plots_dir, f"{split}_{it}_sg_rgb.exr"),
             out["sg_rgb_values"].reshape(H, W, 3),
         )
-        if self._writer is not None:
-            self._writer.add_image(
-                f"vis/{split}", stack.transpose(2, 0, 1), it
+        em = self.model.envmap_material_network
+        env = np.asarray(
+            compute_envmap(
+                em.get_lgtSGs(self.params["envmap_material_network"]),
+                64, 128, coordinate_type=self.coordinate_type,
+                envmap_type="sg" if em.light_type == "sg" else "constant",
             )
+        )
+        exr_io.write(os.path.join(self.plots_dir, f"{split}_{it}_envmap.exr"), env)
+        if self._writer is not None:
+            self._writer.add_image(f"vis/{split}", stack.transpose(2, 0, 1), it)
+            env_tm = np.clip(np.power(np.clip(env, 0, None), 1 / 2.2), 0, 1)
+            self._writer.add_image(f"vis/{split}_envmap", env_tm.transpose(2, 0, 1), it)
 
     def render_image(self, dataset, img_idx: int = 0) -> Dict[str, np.ndarray]:
         """Chunked full-image eval render through the shard-mapped forward."""
