@@ -29,7 +29,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from nefii_tpu.models.implicit import ImplicitNetwork
 from nefii_tpu.models.material import EnvmapMaterialNetwork
@@ -171,7 +171,11 @@ class IDRNetwork:
         p_imp = params["implicit_network"]
         p_rend = params["rendering_network"]
 
-        sdf_fn = self._sdf_closure(p_imp)
+        # the tracer runs under no-grad in the reference (:344-350, secondary
+        # traces under torch.no_grad in the shaders) — cut params here so AD
+        # never differentiates through the trace (also required for the
+        # forward-only Pallas kernel)
+        sdf_fn = self._sdf_closure(stop_grad(p_imp))
 
         def trace(origins, dirs, key, training):
             res = self.ray_tracer(

@@ -141,12 +141,20 @@ def build_fused_hidden(network, params: Dict[str, Any], tile: int = 512, interpr
         in_specs = [
             pl.BlockSpec((tile, x_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] + [pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM) for w in weights]
+        # inside shard_map the inputs vary over the mesh axis; the output
+        # varies the same way (per-shard rays) — propagate the vma so
+        # shard_map's replication checking accepts the kernel
+        try:
+            vma = jax.typeof(x).vma
+            out_shape = jax.ShapeDtypeStruct((n_pad, out_width), jnp.float32, vma=vma)
+        except (AttributeError, TypeError):
+            out_shape = jax.ShapeDtypeStruct((n_pad, out_width), jnp.float32)
         out = pl.pallas_call(
             kern,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((tile, out_width), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad, out_width), jnp.float32),
+            out_shape=out_shape,
             interpret=interpret,
         )(x, *weights)
         return out[:N]

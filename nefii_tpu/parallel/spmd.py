@@ -121,6 +121,7 @@ def make_grad_fn(
         )
         fn = shard_map(
             local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            
         )
         if train_cameras:
             return fn

@@ -11,7 +11,6 @@ roughness/diffuse (:174-187); aggregates to `results.txt`.
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 from typing import Dict, Optional

@@ -40,6 +40,11 @@ def main(argv=None):
         old_expdir=opt.old_expdir,
         checkpoint=opt.checkpoint,
         seed=opt.seed,
+        data_split_dir=opt.data_split_dir,
+        gamma=opt.gamma,
+        subsample=opt.subsample,
+        vis_subsample=opt.vis_subsample,
+        wo_mask=opt.wo_mask,
     )
     runner.run()
 

@@ -63,6 +63,17 @@ class GeometryTrainRunner:
             scale_to_unit=kwargs.get("scale_to_unit", True), seed=self.seed,
         )
 
+        # optional scene data for visualisation renders (reference :248-340)
+        self.plot_dataset = None
+        if kwargs.get("data_split_dir"):
+            from nefii_tpu.datasets.scene_dataset import SceneDataset
+
+            self.plot_dataset = SceneDataset(
+                kwargs.get("gamma", 1.0), kwargs["data_split_dir"], False,
+                kwargs.get("subsample", 1) * kwargs.get("vis_subsample", 1),
+                wo_mask=kwargs.get("wo_mask", False),
+            )
+
         model_class = get_class(self.conf.get_string("train.model_class"))
         self.model = model_class.from_conf(self.conf.get_config("model"))
         self.params = self.model.init_params(jax.random.PRNGKey(self.seed))
@@ -145,6 +156,8 @@ class GeometryTrainRunner:
             )
             if it % self.ckpt_freq == 0:
                 self.save_checkpoints(it)
+            if self.plot_dataset is not None and it > 0 and it % self.plot_freq == 0:
+                self.vis(it)
             if it % self.log_freq == 0:
                 lv = float(loss)
                 if not np.isfinite(lv):
@@ -155,3 +168,39 @@ class GeometryTrainRunner:
             it += 1
 
         self.save_checkpoints(it)
+
+    # ------------------------------------------------------------------
+    def vis(self, it: int, img_idx: int = 0):
+        """Render normals + depth of the current SDF through the tracer
+        (reference geometry_train vis_train :248-340)."""
+        import imageio.v2 as imageio
+        import jax.numpy as jnp
+
+        from nefii_tpu.utils.camera import get_camera_params
+        from nefii_tpu.utils.plots import depth_map
+
+        ds = self.plot_dataset
+        H, W = ds.img_res
+        idx, sample, _ = ds[img_idx]
+        uv = jnp.asarray(sample["uv"][None], jnp.float32)
+        pose = jnp.asarray(sample.get("pose", ds.pose_all[img_idx])[None])
+        K = jnp.asarray(sample["intrinsics"][None])
+        rays, cam = get_camera_params(uv, pose, K)
+
+        imp = self.model.implicit_network
+        p_imp = self.params["implicit_network"]
+        res = self.model.ray_tracer(
+            lambda x: imp.sdf(p_imp, x), cam,
+            jnp.asarray(sample["object_mask"]), rays,
+        )
+        g = imp.gradient(p_imp, res.points)
+        normals = np.asarray(g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-6))
+        hit = np.asarray(res.object_mask)
+
+        normal_img = np.where(hit[:, None], (normals + 1) / 2, 1.0).reshape(H, W, 3)
+        depth_img = depth_map(np.asarray(res.points), np.asarray(pose[0]), hit, (H, W))
+        panel = np.concatenate([normal_img, depth_img], axis=1)
+        imageio.imwrite(
+            os.path.join(self.plots_dir, f"geo_{it}.png"),
+            (np.clip(panel, 0, 1) * 255).astype(np.uint8),
+        )

@@ -26,7 +26,6 @@ from __future__ import annotations
 import os
 import shutil
 import sys
-import time
 from datetime import datetime
 from typing import Any, Dict, Optional
 

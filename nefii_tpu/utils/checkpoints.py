@@ -17,9 +17,7 @@ collections hold the iteration counter for layout parity.
 
 from __future__ import annotations
 
-import json
 import os
-import re
 from typing import Any, Callable, Dict, Optional
 
 import jax

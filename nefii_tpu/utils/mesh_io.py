@@ -8,7 +8,6 @@ polygon faces are fan-triangulated.
 
 from __future__ import annotations
 
-import struct
 from typing import Tuple
 
 import numpy as np
