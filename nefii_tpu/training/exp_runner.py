@@ -65,6 +65,9 @@ def add_argument(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
 
     parser.add_argument("--local_rank", type=int, default=-1)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="write a jax.profiler trace of the first train "
+                             "iterations to this directory")
     return parser
 
 
@@ -113,6 +116,7 @@ def main(argv=None):
         secondary_batch_size=opt.secondary_batch_size,
         secondary_train_interval=opt.secondary_train_interval,
         seed=opt.seed,
+        profile_dir=opt.profile_dir,
     )
     runner.run()
 

@@ -72,6 +72,9 @@ class IDRTrainRunner:
         self.memory_capacity_level = kwargs.get("memory_capacity_level", 18)
         self.write_idr = kwargs.get("write_idr", False)
         self.seed = kwargs.get("seed", 0)
+        # first-class profiling (SURVEY.md §5: the reference had only an
+        # ad-hoc torch.profiler block, ray_tracing.py:411-425)
+        self.profile_dir = kwargs.get("profile_dir") or None
         self.coordinate_type = kwargs.get("coordinate_type", "mitsuba")
 
         # ---- experiment dir -------------------------------------------------
@@ -436,6 +439,11 @@ class IDRTrainRunner:
         n_images = len(self.train_dataset)
         key = jax.random.PRNGKey(self.seed + 1)
 
+        profiling = False
+        if self.profile_dir:
+            jax.profiler.start_trace(self.profile_dir)
+            profiling = True
+
         with self.mesh:
             for epoch in range(self.start_epoch, self.nepochs + 1):
                 if not self.loss.sample_each_iter:
@@ -505,7 +513,14 @@ class IDRTrainRunner:
                         self._train_with_secondary(secondary, sub, fake_r, fake_s)
 
                     self.cur_iter += 1
+                    if profiling and self.cur_iter >= 5:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        print(f"profiler trace written to {self.profile_dir}")
 
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
             self.save_checkpoints(self.nepochs)
 
     # ------------------------------------------------------------------
