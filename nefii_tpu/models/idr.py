@@ -102,6 +102,7 @@ class IDRNetwork:
     #    shading (the reference gathers points[surface_mask] dynamically,
     #    :359; this is its fixed-shape analogue — 1.0 = shade all rays)
     use_fused_sdf: bool = False
+    fused_sdf_dtype: str = "float32"   # "bfloat16" = reference's fp16-autocast analogue
     shade_fraction: float = 1.0
 
     # ------------------------------------------------------------------
@@ -134,6 +135,7 @@ class IDRNetwork:
             render_background=conf.get_bool("render_background", default=False),
             correct_normal=correct_normal,
             use_fused_sdf=conf.get_bool("use_fused_sdf", default=False),
+            fused_sdf_dtype=conf.get_string("fused_sdf_dtype", default="float32"),
             shade_fraction=conf.get_float("shade_fraction", default=1.0),
         )
 
@@ -150,7 +152,8 @@ class IDRNetwork:
                 if _jax.default_backend() == "tpu":
                     from nefii_tpu.ops.pallas.fused_mlp import build_fused_sdf
 
-                    return build_fused_sdf(imp, p_imp)
+                    dtype = jnp.bfloat16 if self.fused_sdf_dtype == "bfloat16" else jnp.float32
+                    return build_fused_sdf(imp, p_imp, dtype=dtype)
             except Exception:
                 pass
         return lambda x: imp.sdf(p_imp, x)
