@@ -8,6 +8,8 @@ import pytest
 from nefii_tpu.config import parse_string
 from nefii_tpu.models.idr import IDRNetwork
 
+pytestmark = pytest.mark.slow  # integration tests: minutes on CPU
+
 SMALL_CONF = """
 model{
     render_type = pt_render_indirect_mlp

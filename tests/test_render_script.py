@@ -12,6 +12,8 @@ from nefii_tpu.utils import exr
 
 from test_trainer import TRAIN_CONF, scene_dir  # noqa: F401  (fixture)
 
+pytestmark = pytest.mark.slow  # integration tests: minutes on CPU
+
 
 @pytest.fixture(scope="module")
 def trained_exp(scene_dir, tmp_path_factory):

@@ -15,9 +15,10 @@ from nefii_tpu.parallel import spmd
 
 from test_idr_forward import SMALL_CONF, _inputs
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"),
+]
 
 
 def _sg_model():

@@ -10,6 +10,8 @@ from nefii_tpu.config import parse_string
 from nefii_tpu.training.trainer import IDRTrainRunner
 from nefii_tpu.utils import exr
 
+pytestmark = pytest.mark.slow  # integration tests: minutes on CPU
+
 TRAIN_CONF = """
 train{
     expname = test_scene

@@ -8,6 +8,8 @@ from nefii_tpu.training.trainer import IDRTrainRunner
 
 from test_trainer import TRAIN_CONF, scene_dir  # noqa: F401
 
+pytestmark = pytest.mark.slow  # integration tests: minutes on CPU
+
 
 def test_train_cameras_updates_poses(scene_dir, tmp_path):
     runner = IDRTrainRunner(

@@ -9,6 +9,9 @@ from nefii_tpu.config import parse_string
 from nefii_tpu.training.trainer import IDRTrainRunner
 
 from test_trainer import TRAIN_CONF, scene_dir  # noqa: F401
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tests: minutes on CPU
 
 
 def test_vis_writes_panels(scene_dir, tmp_path):
