@@ -224,3 +224,62 @@ def import_torch_implicit(params, path: str, *, module_prefix: str = "implicit_n
     new = dict(params)
     new["implicit_network"] = {"layers": new_layers}
     return new
+
+
+def import_torch_idr(params, state: Dict):
+    """Map a FULL reference IDRNetwork state_dict into our param tree.
+
+    Covers all three trainable submodules of the reference composite
+    (implicit_differentiable_renderer.py:249-253): the weight-normed
+    `implicit_network.lin{i}` / `rendering_network.lin{i}` stacks, and the
+    material network's plain-Linear sequential MLPs (torch Sequential indices
+    count activations, so Linear keys are 0,2,4,... — mapped positionally onto
+    our layer lists) plus direct tensors (lgtSGs, specular_reflectance, ...).
+
+    `state` is a state_dict-like mapping of names to tensors/arrays, e.g.
+    `torch.load(path)["model_state_dict"]` or `model.state_dict()`. Used by
+    the torch-parity harness (tests/test_torch_parity.py).
+    """
+    def as_np(t):
+        return np.asarray(t.detach().numpy() if hasattr(t, "detach") else t,
+                          np.float32)
+
+    # DDP checkpoints prefix everything with "module."
+    state = {k[7:] if k.startswith("module.") else k: v for k, v in state.items()}
+
+    new = dict(params)
+    for net in ("implicit_network", "rendering_network"):
+        new_layers = [
+            jax.tree_util.tree_map(
+                jax.numpy.asarray,
+                _torch_linear_to_ours(f"{net}.lin{i}.", state, "v" in layer),
+            )
+            for i, layer in enumerate(params[net]["layers"])
+        ]
+        sub = dict(params[net])
+        sub["layers"] = new_layers
+        new[net] = sub
+
+    mat = dict(params["envmap_material_network"])
+    mprefix = "envmap_material_network."
+    for key, val in list(mat.items()):
+        if isinstance(val, (list, tuple)):
+            lin_idxs = sorted({
+                int(k[len(mprefix) + len(key) + 1:].split(".")[0])
+                for k in state
+                if k.startswith(f"{mprefix}{key}.") and k.endswith(".weight")
+            })
+            if len(lin_idxs) != len(val):
+                raise KeyError(
+                    f"{mprefix}{key}: {len(lin_idxs)} torch Linears vs "
+                    f"{len(val)} of ours"
+                )
+            mat[key] = [
+                {"w": jax.numpy.asarray(as_np(state[f"{mprefix}{key}.{j}.weight"])),
+                 "b": jax.numpy.asarray(as_np(state[f"{mprefix}{key}.{j}.bias"]))}
+                for j in lin_idxs
+            ]
+        elif f"{mprefix}{key}" in state:
+            mat[key] = jax.numpy.asarray(as_np(state[f"{mprefix}{key}"]))
+    new["envmap_material_network"] = mat
+    return new

@@ -1,0 +1,268 @@
+"""Head-to-head numerical parity with the PyTorch reference implementation.
+
+Loads the reference IDRNetwork (/root/reference/code/model/
+implicit_differentiable_renderer.py:244-759) on torch CPU, exports its
+state_dict into our JAX param tree (utils/checkpoints.import_torch_idr), and
+asserts the two implementations agree:
+
+  * ImplicitNetwork sdf/feature/gradient          (reference :18-123)
+  * RenderingNetwork radiance                     (reference :126-241)
+  * EnvmapMaterialNetwork materials               (sg_envmap_material.py:46-447)
+  * render_with_sg closed-form shading            (sg_render.py:164-295)
+  * RayTracing hit distances                      (ray_tracing.py:29-101)
+  * full forward_with_uv, render_type="sg"        (PSNR >= 50 dB)
+
+This is the BASELINE.md quality gate ("within 0.1 dB of reference renders")
+made into a deterministic test: identical weights, identical rays, fp32 CPU.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ref_torch import REF_CODE, build_reference_idr, import_reference  # noqa: E402
+
+from nefii_tpu.config import ConfigFactory  # noqa: E402
+from nefii_tpu.models.idr import IDRNetwork  # noqa: E402
+from nefii_tpu.utils import checkpoints  # noqa: E402
+
+
+def _t(x):
+    return torch.as_tensor(np.asarray(x), dtype=torch.float32)
+
+
+def _n(x):
+    return np.asarray(x.detach().numpy() if hasattr(x, "detach") else x, np.float32)
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-30))
+
+
+def _build_pair(conf_name):
+    """(ref torch model, our model, our params w/ ref weights, conf)."""
+    torch.manual_seed(0)
+    ref, conf = build_reference_idr(f"{REF_CODE}/confs_sg/{conf_name}")
+    ours_conf = ConfigFactory.parse_file(
+        f"{REF_CODE}/confs_sg/{conf_name}"
+    ).get_config("model")
+    ours = IDRNetwork.from_conf(ours_conf)
+    params = ours.init_params(jax.random.PRNGKey(0))
+    params = checkpoints.import_torch_idr(params, ref.state_dict())
+    return ref, ours, params, conf
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return _build_pair("conf.conf")
+
+
+@pytest.fixture(scope="module")
+def physg_pair():
+    return _build_pair("physg.conf")
+
+
+def _rand_points(n, seed=0, scale=0.8):
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-scale, scale, (n, 3)).astype(np.float32)
+
+
+def _rand_unit(n, seed=1):
+    rng = np.random.RandomState(seed)
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# components
+# ---------------------------------------------------------------------------
+
+def test_implicit_network_parity(pair):
+    ref, ours, params, _ = pair
+    pts = _rand_points(256)
+    ref_out = _n(ref.implicit_network(_t(pts)))
+    our_out = np.asarray(ours.implicit_network(params["implicit_network"], jnp.asarray(pts)))
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=2e-5)
+
+
+def test_implicit_gradient_parity(pair):
+    ref, ours, params, _ = pair
+    pts = _rand_points(128, seed=3)
+    g_ref = _n(ref.implicit_network.gradient(_t(pts)))[:, 0, :]
+    g_ours = np.asarray(ours.implicit_network.gradient(params["implicit_network"], jnp.asarray(pts)))
+    np.testing.assert_allclose(g_ours, g_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_rendering_network_parity(pair):
+    ref, ours, params, _ = pair
+    n = 128
+    pts, nrm, vd = _rand_points(n), _rand_unit(n, 1), _rand_unit(n, 2)
+    feat = np.random.RandomState(4).normal(size=(n, ref.feature_vector_size)).astype(np.float32) * 0.1
+    ref_rgb = _n(ref.rendering_network(_t(pts), _t(nrm), _t(vd), _t(feat)))
+    our_rgb = np.asarray(
+        ours.rendering_network(
+            params["rendering_network"], jnp.asarray(pts), jnp.asarray(nrm),
+            jnp.asarray(vd), jnp.asarray(feat),
+        )
+    )
+    np.testing.assert_allclose(our_rgb, ref_rgb, rtol=1e-4, atol=2e-5)
+
+
+def test_material_network_parity(pair):
+    ref, ours, params, _ = pair
+    n = 128
+    pts, nrm = _rand_points(n, seed=5), _rand_unit(n, 6)
+    feat = np.random.RandomState(7).normal(size=(n, ref.feature_vector_size)).astype(np.float32) * 0.1
+    ref_mat = ref.envmap_material_network(_t(pts), _t(feat), _t(nrm))
+    our_mat = ours.envmap_material_network(
+        params["envmap_material_network"], jnp.asarray(pts), jnp.asarray(feat), jnp.asarray(nrm)
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_mat["sg_lgtSGs"]), _n(ref_mat["sg_lgtSGs"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_mat["sg_diffuse_albedo"]), _n(ref_mat["sg_diffuse_albedo"]),
+        rtol=1e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_mat["sg_roughness"]), _n(ref_mat["sg_roughness"]),
+        rtol=1e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_mat["sg_specular_reflectance"]),
+        _n(ref_mat["sg_specular_reflectance"]), rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_render_with_sg_parity(pair):
+    ref_sg = import_reference("model.sg_render")
+    from nefii_tpu.ops.sg import render_with_sg as ours_sg
+
+    _, _, params, _ = pair
+    lgtSGs = np.asarray(params["envmap_material_network"]["lgtSGs"])
+    n = 256
+    rng = np.random.RandomState(8)
+    nrm, vd = _rand_unit(n, 9), _rand_unit(n, 10)
+    albedo = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+    rough = np.asarray([[0.4]], np.float32)
+    spec = np.asarray([[0.3, 0.35, 0.4]], np.float32)
+
+    ref_out = ref_sg.render_with_sg(
+        _t(lgtSGs), _t(spec), _t(rough), _t(albedo), _t(nrm), _t(vd)
+    )
+    our_out = ours_sg(
+        jnp.asarray(lgtSGs), jnp.asarray(spec), jnp.asarray(rough),
+        jnp.asarray(albedo), jnp.asarray(nrm), jnp.asarray(vd),
+    )
+    for k in ("sg_rgb", "sg_specular_rgb", "sg_diffuse_rgb"):
+        np.testing.assert_allclose(
+            np.asarray(our_out[k]), _n(ref_out[k]), rtol=1e-5, atol=1e-5,
+            err_msg=f"render_with_sg key {k}",
+        )
+
+
+def _camera(W=64, dist=2.5):
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = W * 1.2
+    K[0, 2] = K[1, 2] = W / 2.0
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, -dist]
+    return K, pose
+
+
+def _center_rays(n, W=64, seed=11):
+    rng = np.random.RandomState(seed)
+    return rng.uniform(W * 0.25, W * 0.75, (1, n, 2)).astype(np.float32)
+
+
+def test_sphere_trace_parity(pair):
+    """Same imported SDF, same rays: hit masks and distances must agree."""
+    ref, ours, params, _ = pair
+    W = 64
+    K, pose = _camera(W)
+    uv = _center_rays(96, W)
+
+    ref_ray_mod = import_reference("utils.rend_util")
+    ray_dirs_t, cam_loc_t = ref_ray_mod.get_camera_params(
+        _t(uv), _t(pose[None]), _t(K[None])
+    )
+    obj_mask = torch.ones(uv.shape[1], dtype=torch.bool)
+
+    ref.ray_tracer.eval()
+    with torch.no_grad():
+        pts_ref, hit_ref, dist_ref = ref.ray_tracer(
+            sdf=lambda x: ref.implicit_network(x)[:, 0],
+            cam_loc=cam_loc_t, object_mask=obj_mask, ray_directions=ray_dirs_t,
+        )
+
+    from nefii_tpu.utils.camera import get_camera_params
+
+    ray_dirs, cam_loc = get_camera_params(
+        jnp.asarray(uv), jnp.asarray(pose[None]), jnp.asarray(K[None])
+    )
+    sdf_fn = lambda x: ours.implicit_network(params["implicit_network"], x)[:, 0]
+    res = ours.ray_tracer(
+        sdf_fn, cam_loc, jnp.ones((uv.shape[1],), bool), ray_dirs, training=False
+    )
+
+    hit_ours = np.asarray(res.object_mask)
+    hit_ref = _n(hit_ref).astype(bool)
+    # masks must agree on ~all rays (boundary rays may flip either way)
+    agree = hit_ours == hit_ref
+    assert agree.mean() >= 0.97, f"hit masks agree on {agree.mean():.2%}"
+
+    both = hit_ours & hit_ref
+    assert both.sum() > 10, "degenerate scene: no common hits"
+    np.testing.assert_allclose(
+        np.asarray(res.dists)[both], _n(dist_ref)[both], rtol=1e-4, atol=1e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+def test_forward_with_uv_sg_parity(physg_pair):
+    """Full pixel pipeline, render_type='sg' (deterministic): PSNR >= 50 dB."""
+    ref, ours, params, _ = physg_pair
+    W = 64
+    K, pose = _camera(W)
+    uv = _center_rays(160, W, seed=12)
+    obj_mask = np.ones((1, uv.shape[1]), bool)
+
+    ref.eval()
+    inp = {
+        "uv": _t(uv),
+        "intrinsics": _t(K[None]),
+        "pose": _t(pose[None]),
+        "object_mask": torch.as_tensor(obj_mask),
+    }
+    with torch.no_grad():
+        ref_out = ref(inp)
+
+    batch = {
+        "uv": jnp.asarray(uv),
+        "intrinsics": jnp.asarray(K[None]),
+        "pose": jnp.asarray(pose[None]),
+        "object_mask": jnp.asarray(obj_mask),
+    }
+    our_out = ours.forward(params, batch, jax.random.PRNGKey(0), training=False)
+
+    hit_ref = _n(ref_out["network_object_mask"]).astype(bool)
+    hit_ours = np.asarray(our_out["network_object_mask"])
+    agree = hit_ours == hit_ref
+    assert agree.mean() >= 0.99, f"hit masks agree on {agree.mean():.2%}"
+    both = hit_ref & hit_ours
+    assert both.sum() > 20, "degenerate scene: no common hits"
+
+    # measured ~119-137 dB (max abs err ~5e-6) — gate at 80 dB for headroom
+    for k in ("sg_rgb_values", "idr_rgb_values", "normal_values"):
+        a = np.asarray(our_out[k])[both]
+        b = _n(ref_out[k])[both]
+        p = _psnr(a, b)
+        assert p >= 80.0, f"{k}: PSNR {p:.1f} dB < 80 dB"
