@@ -70,6 +70,7 @@ class RayTracer:
     sdf_chunk: int = 100_000
     sampler_budget: Optional[int] = None   # static cap on rays taking the 100-step path
     minsdf_budget: Optional[int] = None    # static cap on rays taking the min-SDF path
+    rootfind_method: str = "bisection"     # "bisection" | "secant" (reference :259-307)
 
     # ------------------------------------------------------------------
     def __call__(
@@ -293,7 +294,8 @@ class RayTracer:
         sdf_high = sdf_at_idx
         z_low = take(pts_intervals, prev)
         sdf_low = take(sdf_val, prev)
-        z_pred, bisect_evals = self._bisection(sdf_fn, sdf_low, sdf_high, z_low, z_high, cam, dirs)
+        rf = self._secant if self.rootfind_method == "secant" else self._bisection
+        z_pred, bisect_evals = rf(sdf_fn, sdf_low, sdf_high, z_low, z_high, cam, dirs)
         sampler_dists = jnp.where(rootfind_pts, z_pred, sampler_dists)
 
         sampler_pts = cam + sampler_dists[:, None] * dirs
@@ -324,6 +326,41 @@ class RayTracer:
             cond, body, (jnp.int32(0), work, z_low, z_high, z_mid)
         )
         return z_mid, iters * jnp.int32(cam.shape[0])
+
+    def _secant(self, sdf_fn, sdf_low, sdf_high, z_low, z_high, cam, dirs):
+        """Masked secant root-find (reference `secant`, ray_tracing.py:282-307)."""
+        eps = 1e-8
+        work = (sdf_low > 0) & (sdf_high < 0) & (z_high > z_low)
+
+        def predict(sdf_low, sdf_high, z_low, z_high):
+            z = -sdf_low * (z_high - z_low) / (sdf_high - sdf_low + eps) + z_low
+            return jnp.clip(z, 0.0, 2e1)
+
+        z_pred = predict(sdf_low, sdf_high, z_low, z_high)
+
+        def cond(state):
+            i, work, *_ = state
+            return jnp.any(work) & (i < self.n_rootfind_steps)
+
+        def body(state):
+            i, work, sdf_low, sdf_high, z_low, z_high, z_pred = state
+            p = cam + z_pred[:, None] * dirs
+            sdf_mid = eval_chunked(sdf_fn, p, self.sdf_chunk)
+            ind_low = sdf_mid > 0
+            ind_high = sdf_mid < 0
+            z_low = jnp.where(ind_low, z_pred, z_low)
+            sdf_low = jnp.where(ind_low, sdf_mid, sdf_low)
+            z_high = jnp.where(ind_high, z_pred, z_high)
+            sdf_high = jnp.where(ind_high, sdf_mid, sdf_high)
+            z_pred = predict(sdf_low, sdf_high, z_low, z_high)
+            work = work & ((z_high - z_low) > 1e-6)
+            return i + 1, work, sdf_low, sdf_high, z_low, z_high, z_pred
+
+        iters, _, _, _, _, _, z_pred = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), work, sdf_low, sdf_high, z_low, z_high, z_pred),
+        )
+        return z_pred, iters * jnp.int32(cam.shape[0])
 
     # ------------------------------------------------------------------
     def _minimal_sdf_points(self, sdf_fn, cam, dirs, min_dis, max_dis, mask, key):

@@ -102,7 +102,8 @@ def main(prediction_dir: str, gt_path: str, out_path: Optional[str] = None):
 
         pre = _find(prediction_dir, [f"rerender_rgb-{index:03d}.exr", f"rerender_rgb_{index:03d}.exr"])
         if pre:
-            _put(evaluate_rgb(pre, os.path.join(gt_rgb, fname), mask_f), all_result, "rgb")
+            _put(evaluate_rgb(pre, os.path.join(gt_rgb, fname), mask_f,
+                              with_lpips=True), all_result, "rgb")
 
         pre = _find(prediction_dir, [f"diffuse_albedo-{index:03d}.exr", f"diffuse_albedo_{index:03d}.exr"])
         gt_d = _find(gt_diffuse, [f"{index:06d}_diffuse.00.exr", f"{index:03d}.exr", fname])
@@ -126,7 +127,15 @@ def main(prediction_dir: str, gt_path: str, out_path: Optional[str] = None):
     lines = []
     for item, md in all_result.items():
         for metric, vals in md.items():
-            lines.append(f"{item}.{metric}: {np.mean(vals):.6f}")
+            mean = np.mean(vals)
+            if metric == "lpips" and not np.isfinite(mean):
+                # reference evaluate.py:116,154 reports LPIPS-alex; the
+                # pretrained weights cannot be fetched offline — say so
+                # explicitly instead of silently omitting the row
+                lines.append(f"{item}.{metric}: unavailable "
+                             "(lpips package / AlexNet weights not installed)")
+            else:
+                lines.append(f"{item}.{metric}: {mean:.6f}")
     report = "\n".join(lines)
     print(report)
 

@@ -114,17 +114,38 @@ class GeometryTrainRunner:
 
         imp = self.model.implicit_network
 
-        def step(params, opt_state, pts, sdf_gt):
+        # shard the point batch over the ray mesh with psum'd (num, den) so
+        # the sharded L1 (and its gradient) equals single-device exactly —
+        # the reference trained Step 1 with DataParallel (geometry_train.py:151)
+        from nefii_tpu.parallel.mesh import RAY_AXIS, make_mesh
+        from nefii_tpu.parallel.spmd import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = kwargs.get("n_devices") or len(jax.devices())
+        while n_dev > 1 and self.batch_points % n_dev != 0:
+            n_dev -= 1
+        self.mesh = make_mesh(n_dev)
+
+        def local_step(params, opt_state, pts, sdf_gt):
             def loss_fn(p):
                 pred = imp(p["implicit_network"], pts)[:, 0:1]
-                return jnp.abs(pred - sdf_gt).mean()
+                num = jax.lax.psum(jnp.abs(pred - sdf_gt).sum(), RAY_AXIS)
+                den = jax.lax.psum(jnp.float32(pred.size), RAY_AXIS)
+                return num / den
 
+            # psum inside the loss makes it a global scalar; shard_map AD
+            # transposes it so grads are already the replicated global grad
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        self._step = jax.jit(step, donate_argnums=(0, 1))
+        sharded = shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS)),
+            out_specs=(P(), P(), P()),
+        )
+        self._step = jax.jit(sharded, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     def save_checkpoints(self, it: int):

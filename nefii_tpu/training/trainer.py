@@ -97,10 +97,21 @@ class IDRTrainRunner:
         self.plots_dir = os.path.join(self.rundir, "plots")
         for d in (self.rundir, self.checkpoints_path, self.plots_dir):
             utils.mkdir_ifnotexists(d)
-        # conf backup + run command (reference :124-133)
+        # conf + full code backup + run command (reference :124-133 copies the
+        # whole code directory into the experiment dir for reproducibility)
         conf_path = kwargs["conf"] if isinstance(kwargs["conf"], str) else None
         if conf_path and os.path.exists(conf_path):
             shutil.copy(conf_path, os.path.join(self.rundir, "runconf.conf"))
+        if not is_continue and kwargs.get("backup_code", True):
+            import nefii_tpu
+
+            src = os.path.dirname(os.path.abspath(nefii_tpu.__file__))
+            dst = os.path.join(self.rundir, "code", "nefii_tpu")
+            if not os.path.exists(dst):
+                shutil.copytree(
+                    src, dst,
+                    ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "*.so", "*.o"),
+                )
         with open(os.path.join(self.rundir, "runcmd.txt"), "a") as f:
             f.write(" ".join(sys.argv) + "\n")
 
@@ -455,7 +466,12 @@ class IDRTrainRunner:
                     return
 
                 order = np.random.default_rng(epoch).permutation(n_images)
-                for img_i in order[: max(1, n_images // self.batch_size)]:
+                for step_i in range(max(1, n_images // self.batch_size)):
+                    img_ids = order[
+                        step_i * self.batch_size : (step_i + 1) * self.batch_size
+                    ]
+                    if img_ids.size == 0:
+                        img_ids = order[:1]
                     if self.loss.sample_each_iter:
                         self._sample_pixels(self.cur_iter)
 
@@ -466,9 +482,10 @@ class IDRTrainRunner:
                     if self.val_freq > 0 and self.cur_iter % max(self.val_freq // self.batch_size, 1) == 0:
                         self.vis("test", self.cur_iter)
 
-                    idx, model_input, ground_truth = self.train_dataset[int(img_i)]
+                    # stack batch_size images per step, matching the reference
+                    # DataLoader semantics (idr_train.py:152-160)
                     indices, model_input, ground_truth = self.train_dataset.collate(
-                        [(idx, model_input, ground_truth)]
+                        [self.train_dataset[int(i)] for i in img_ids]
                     )
                     batch, gt = self._device_batch(model_input, ground_truth, indices)
                     if self.loss.view_diff_weight > 0:

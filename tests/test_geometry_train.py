@@ -98,6 +98,41 @@ def test_sdf_sampler_distribution(mesh_file):
     assert (sdf[inside, 0] < 0).mean() > 0.99
 
 
+def test_geometry_step_sharded_equals_single(mesh_file, tmp_path):
+    """8-device sharded Step-1 grads/params == single-device (VERDICT r1 #5)."""
+    import jax.numpy as jnp
+
+    runners = []
+    for n_dev in (1, 8):
+        runners.append(
+            GeometryTrainRunner(
+                conf=parse_string(GEOM_CONF),
+                mesh_path=mesh_file,
+                batch_points=512,
+                max_niters=10,
+                exps_folder_name=str(tmp_path / f"exps{n_dev}"),
+                n_devices=n_dev,
+                seed=7,
+            )
+        )
+    r1, r8 = runners
+    assert r8.mesh.devices.size == 8
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-1, 1, (512, 3)).astype(np.float32)
+    sdf_gt = rng.uniform(-0.2, 0.2, (512, 1)).astype(np.float32)
+    for r in (r1, r8):
+        for _ in range(3):
+            r.params, r.opt_state, loss = r._step(
+                r.params, r.opt_state, jnp.asarray(pts), jnp.asarray(sdf_gt)
+            )
+    l1, l8 = float(loss), float(loss)
+    p1 = jax.tree_util.tree_leaves(r1.params["implicit_network"])
+    p8 = jax.tree_util.tree_leaves(r8.params["implicit_network"])
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
 def test_geometry_training_converges(mesh_file, tmp_path):
     runner = GeometryTrainRunner(
         conf=parse_string(GEOM_CONF),

@@ -69,6 +69,26 @@ def test_trace_sphere_matches_closed_form():
     np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 0.5, atol=2e-3)
 
 
+def test_trace_sphere_secant_rootfind():
+    """Secant option (reference ray_tracing.py:282-307) matches closed form."""
+    tracer = RayTracer(
+        sphere_tracing_iters=3, n_steps=100, n_rootfind_steps=16,
+        rootfind_method="secant",
+    )
+    cam, dirs = _camera_rays(n_side=8, spread=0.6)
+    S = dirs.shape[1]
+    res = tracer(sphere_sdf(0.5), cam, jnp.ones((S,), bool), dirs)
+
+    t_ref = _closed_form_sphere_hit(cam, dirs, 0.5)
+    hit_ref = ~np.isnan(t_ref)
+    hit = np.asarray(res.object_mask)
+    both = hit & hit_ref
+    assert both.sum() > 10
+    np.testing.assert_allclose(
+        np.asarray(res.dists)[both], t_ref[both], atol=5e-4
+    )
+
+
 def test_trace_box():
     tracer = RayTracer(sphere_tracing_iters=10, n_steps=100, n_rootfind_steps=32)
     cam, dirs = _camera_rays(n_side=6, spread=0.3)

@@ -188,6 +188,50 @@ def test_train_smoke_and_checkpoint_resume(scene_dir, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_batch_size_two_trains_on_both_images(scene_dir, tmp_path):
+    """--batch_size stacks B images per step and both contribute to the loss
+    (reference DataLoader semantics, idr_train.py:152-160)."""
+    import jax
+    import jax.numpy as jnp
+
+    runner = _make_runner(
+        scene_dir, tmp_path, batch_size=2, nepochs=1, max_niters=10,
+        secondary_train_interval=-1,
+    )
+
+    seen_B = []
+    orig_collate = runner.train_dataset.collate
+
+    def recording_collate(items):
+        idxs, s, g = orig_collate(items)
+        seen_B.append(s["uv"].shape[0])
+        return idxs, s, g
+
+    runner.train_dataset.collate = recording_collate
+    runner.run()
+    # 3 images // batch_size 2 -> 1 step per epoch, each with 2 stacked images
+    assert seen_B and all(b == 2 for b in seen_B), seen_B
+
+    # both rows contribute: perturbing image 2's gt changes the loss
+    runner._sample_pixels(0)
+    indices, model_input, ground_truth = orig_collate(
+        [runner.train_dataset[0], runner.train_dataset[1]]
+    )
+    batch, gt = runner._device_batch(model_input, ground_truth, indices)
+    step = runner._get_step(False, False, batch, gt)
+    key = jax.random.PRNGKey(3)
+    alpha = jnp.float32(50.0)
+    def fresh_args():  # the jitted step donates these buffers
+        return jax.tree_util.tree_map(
+            jnp.copy, (runner.params, runner.idr_opt_state, runner.sg_opt_state)
+        )
+
+    *_, ld_a, _ = step(*fresh_args(), batch, gt, key, alpha)
+    gt_b = {"rgb": gt["rgb"].at[1].set(0.0)}
+    *_, ld_b, _ = step(*fresh_args(), batch, gt_b, key, alpha)
+    assert float(ld_a["loss"]) != float(ld_b["loss"])
+
+
 def test_train_loss_decreases(scene_dir, tmp_path):
     runner = _make_runner(scene_dir, tmp_path, nepochs=8, secondary_train_interval=-1)
     runner.log_freq = 1
