@@ -1,4 +1,5 @@
-"""Benchmark: path-traced render throughput at 512^2 on one TPU chip.
+"""Benchmark: path-traced render throughput at 512^2 on one TPU chip,
+plus the full training-step wall time at reference scale.
 
 Renders a 512^2 novel view of the flagship NeFII-config model (8x512 SDF MLP,
 128-SG light, pt_render_indirect_mlp: 3-strategy MIS + secondary-ray tracing
@@ -88,6 +89,8 @@ def main():
     rates = sorted(tot / secs for tot, secs in trials)
     value = rates[len(rates) // 2]
 
+    train_step_s = bench_train_step()
+
     print(
         json.dumps(
             {
@@ -95,9 +98,103 @@ def main():
                 "value": round(value, 1),
                 "unit": "ray-samples/sec/chip",
                 "vs_baseline": round(value / BASELINE, 4),
+                "extra_metrics": [
+                    {
+                        "metric": "train-step wall time, 2048px x 64 rays "
+                                  "pt_render_indirect_mlp + freeze_geometry "
+                                  "(robot run_s2 scale); vs_baseline = speedup "
+                                  "over the 9.0 s/chip round-1 measurement",
+                        "value": round(train_step_s, 4),
+                        "unit": "s/step/chip",
+                        "vs_baseline": round(9.0 / train_step_s, 2),
+                    }
+                ],
             }
         )
     )
+
+
+def bench_train_step() -> float:
+    """Median wall time of the full jitted training step (forward + loss +
+    grads + both optimizers) at the reference's Step-2 scale
+    (robot/run_s2.sh:13-30: 2048 pixels x 64 rays, freeze_geometry)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_model
+    from nefii_tpu.models.loss import IDRLoss
+    from nefii_tpu.parallel import spmd
+    from nefii_tpu.parallel.mesh import make_mesh
+
+    S, R, W = 2048, 64, 512
+    model = _flagship_model()
+    tracer = dc.replace(
+        model.ray_tracer, sampler_budget=16384, minsdf_budget=16384,
+        sdf_chunk=2_097_152,
+    )
+    # shipped-conf secondary tracer (confs/conf.conf secondary_ray_tracer)
+    sec = dc.replace(tracer, n_steps=50, n_rootfind_steps=8, sampler_budget=8192)
+    model = dc.replace(model, ray_tracer=tracer, secondary_ray_tracer=sec)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(1)
+
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = W * 1.2
+    K[0, 2] = K[1, 2] = W / 2
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, -2.5]
+    rng = np.random.RandomState(0)
+    base_uv = rng.uniform(W * 0.3, W * 0.7, (1, S, 1, 2)).astype(np.float32)
+    jitter = rng.uniform(-0.5, 0.5, (1, S, R, 2)).astype(np.float32)
+    import jax.numpy as jnp  # noqa: F811
+
+    batch = {
+        "uv": jnp.asarray(base_uv + jitter),
+        "object_mask": jnp.ones((1, S), bool),
+        "intrinsics": jnp.asarray(K[None]),
+        "pose": jnp.asarray(pose[None]),
+    }
+    gt = {"rgb": jnp.asarray(rng.rand(1, S, 3), jnp.float32)}
+
+    loss = IDRLoss(
+        idr_rgb_weight=1.0, sg_rgb_weight=1.0, eikonal_weight=0.1,
+        mask_weight=100.0, alpha=50.0, loss_type="L1", env_loss_type="L2",
+        background_rgb_weight=1.0,
+    )
+    grad_fn = spmd.make_grad_fn(model, loss, mesh, freeze_geo=True)(batch, gt)
+    sg_tx = optax.adam(5e-4)
+    sg_state = sg_tx.init(params)
+
+    def train_step(params, sg_state, batch, gt, key, alpha):
+        ld, grads, _ = grad_fn(params, batch, gt, key, alpha)
+        updates, sg_state = sg_tx.update(grads, sg_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, sg_state, ld["loss"]
+
+    with mesh:
+        step = jax.jit(train_step)
+        # compile + 2 warmup executions (the first post-compile execution
+        # includes one-time buffer/donation setup on the remote backend)
+        for i in range(2):
+            params, sg_state, l = step(
+                params, sg_state, batch, gt, jax.random.PRNGKey(i),
+                jnp.float32(50.0),
+            )
+            float(l)
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            params, sg_state, l = step(
+                params, sg_state, batch, gt, jax.random.PRNGKey(100 + i),
+                jnp.float32(50.0),
+            )
+            float(l)  # host readback forces remote completion
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 if __name__ == "__main__":

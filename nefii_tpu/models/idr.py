@@ -104,6 +104,12 @@ class IDRNetwork:
     use_fused_sdf: bool = False
     fused_sdf_dtype: str = "float32"   # "bfloat16" = reference's fp16-autocast analogue
     shade_fraction: float = 1.0
+    #  - secondary_ray_tracer: tracer override for the secondary-ray fan-out
+    #    (3 MIS strategies x S·R rays). The reference traces secondary rays
+    #    with the SAME tracer (path_tracing_render.py:1332-1375); these rays
+    #    only feed soft visibility + indirect radiance, so reduced fallback
+    #    budgets are a quality/perf knob. None = reference semantics.
+    secondary_ray_tracer: Optional[RayTracer] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -123,6 +129,15 @@ class IDRNetwork:
             **conf.get_config("envmap_material_network").as_plain_dict(),
         )
         tracer = RayTracer(**conf.get_config("ray_tracer").as_plain_dict())
+        secondary_tracer = None
+        try:
+            sec_over = conf.get_config("secondary_ray_tracer").as_plain_dict()
+        except Exception:
+            sec_over = None
+        if sec_over:
+            base = conf.get_config("ray_tracer").as_plain_dict()
+            base.update(sec_over)
+            secondary_tracer = RayTracer(**base)
         return cls(
             feature_vector_size=fvs,
             implicit_network=implicit,
@@ -137,6 +152,7 @@ class IDRNetwork:
             use_fused_sdf=conf.get_bool("use_fused_sdf", default=False),
             fused_sdf_dtype=conf.get_string("fused_sdf_dtype", default="float32"),
             shade_fraction=conf.get_float("shade_fraction", default=1.0),
+            secondary_ray_tracer=secondary_tracer,
         )
 
     # ------------------------------------------------------------------
@@ -180,8 +196,10 @@ class IDRNetwork:
         # forward-only Pallas kernel)
         sdf_fn = self._sdf_closure(stop_grad(p_imp))
 
+        sec_tracer = self.secondary_ray_tracer or self.ray_tracer
+
         def trace(origins, dirs, key, training):
-            res = self.ray_tracer(
+            res = sec_tracer(
                 sdf_fn,
                 origins,
                 jnp.ones((origins.shape[0],), bool),

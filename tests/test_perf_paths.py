@@ -48,6 +48,58 @@ def test_fused_kernel_narrow_net():
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-6)
 
 
+def test_secondary_tracer_override():
+    """secondary_ray_tracer: identical settings -> identical outputs; reduced
+    fallback budgets -> same output structure, finite, and hit masks of the
+    primary trace unchanged (it only affects the secondary fan-out)."""
+    conf = parse_string(SMALL_CONF).get_config("model")
+    base = IDRNetwork.from_conf(conf)
+    same = dataclasses.replace(base, secondary_ray_tracer=base.ray_tracer)
+    reduced = dataclasses.replace(
+        base,
+        secondary_ray_tracer=dataclasses.replace(
+            base.ray_tracer, n_steps=8, n_rootfind_steps=2, sampler_budget=16
+        ),
+    )
+    params = base.init_params(jax.random.PRNGKey(0))
+    inputs = _inputs(S=64)
+    key = jax.random.PRNGKey(1)
+
+    out_b = base.forward(params, inputs, key)
+    out_s = same.forward(params, inputs, key)
+    for k in ("sg_rgb_values", "idr_rgb_values", "network_object_mask"):
+        np.testing.assert_array_equal(np.asarray(out_b[k]), np.asarray(out_s[k]))
+
+    out_r = reduced.forward(params, inputs, key)
+    np.testing.assert_array_equal(
+        np.asarray(out_b["network_object_mask"]),
+        np.asarray(out_r["network_object_mask"]),
+    )
+    sg = np.asarray(out_r["sg_rgb_values"])
+    assert np.isfinite(sg).all()
+    # secondary-ray *directions* are sampled identically; only hit results
+    # may differ under the reduced fallback
+    np.testing.assert_array_equal(
+        np.asarray(out_b["secondary_dir"]), np.asarray(out_r["secondary_dir"])
+    )
+
+
+def test_from_conf_secondary_ray_tracer_section():
+    conf_text = SMALL_CONF.replace(
+        "    ray_tracer\n",
+        "    secondary_ray_tracer { n_steps = 12\n sampler_budget = 32 }\n    ray_tracer\n",
+    )
+    model = IDRNetwork.from_conf(parse_string(conf_text).get_config("model"))
+    assert model.secondary_ray_tracer is not None
+    assert model.secondary_ray_tracer.n_steps == 12
+    assert model.secondary_ray_tracer.sampler_budget == 32
+    # un-overridden fields inherit the main tracer's values
+    assert (
+        model.secondary_ray_tracer.sphere_tracing_iters
+        == model.ray_tracer.sphere_tracing_iters
+    )
+
+
 def test_shade_compaction_matches_dense():
     conf = parse_string(SMALL_CONF).get_config("model")
     dense_model = IDRNetwork.from_conf(conf)
