@@ -103,6 +103,11 @@ class IDRNetwork:
     #    :359; this is its fixed-shape analogue — 1.0 = shade all rays)
     use_fused_sdf: bool = False
     fused_sdf_dtype: str = "float32"   # "bfloat16" = reference's fp16-autocast analogue
+    #  - use_fused_trace: run the WHOLE bidirectional sphere-trace loop as one
+    #    Pallas kernel (weights VMEM-resident across all iterations, per-tile
+    #    early exit) — ops/pallas/fused_trace.py. Per-ray results identical to
+    #    the jnp tracer; fallback sampler/min-SDF stages are unaffected.
+    use_fused_trace: bool = False
     shade_fraction: float = 1.0
     #  - secondary_ray_tracer: tracer override for the secondary-ray fan-out
     #    (3 MIS strategies x S·R rays). The reference traces secondary rays
@@ -151,6 +156,7 @@ class IDRNetwork:
             correct_normal=correct_normal,
             use_fused_sdf=conf.get_bool("use_fused_sdf", default=False),
             fused_sdf_dtype=conf.get_string("fused_sdf_dtype", default="float32"),
+            use_fused_trace=conf.get_bool("use_fused_trace", default=False),
             shade_fraction=conf.get_float("shade_fraction", default=1.0),
             secondary_ray_tracer=secondary_tracer,
         )
@@ -173,6 +179,24 @@ class IDRNetwork:
             except Exception:
                 pass
         return lambda x: imp.sdf(p_imp, x)
+
+    def _fused_trace_closure(self, p_imp, tracer):
+        """Whole-trace Pallas kernel for `tracer`, or None (jnp path).
+
+        TPU-only; params must already be stop_grad'd (the trace carries no
+        gradients in the reference either, :344-350)."""
+        if not self.use_fused_trace:
+            return None
+        try:
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu":
+                from nefii_tpu.ops.pallas.fused_trace import build_fused_sphere_trace
+
+                return build_fused_sphere_trace(self.implicit_network, p_imp, tracer)
+        except Exception:
+            pass
+        return None
 
     def init_params(self, key: jax.Array) -> Dict[str, Any]:
         k1, k2, k3 = jax.random.split(key, 3)
@@ -197,6 +221,7 @@ class IDRNetwork:
         sdf_fn = self._sdf_closure(stop_grad(p_imp))
 
         sec_tracer = self.secondary_ray_tracer or self.ray_tracer
+        sec_trace_fn = self._fused_trace_closure(stop_grad(p_imp), sec_tracer)
 
         def trace(origins, dirs, key, training):
             res = sec_tracer(
@@ -206,6 +231,7 @@ class IDRNetwork:
                 dirs[:, None, :],
                 key=key,
                 training=training,
+                sphere_trace_fn=sec_trace_fn,
             )
             return res.points, res.object_mask, res.dists, res.n_evals
 
@@ -284,6 +310,7 @@ class IDRNetwork:
             stop_grad(ray_dirs),
             key=k_trace,
             training=training,
+            sphere_trace_fn=self._fused_trace_closure(stop_grad(p_imp), self.ray_tracer),
         )
         points = stop_grad(trace_res.points)
         network_object_mask = trace_res.object_mask

@@ -27,6 +27,7 @@ jittable (SURVEY.md §7.4 item 3).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -81,6 +82,7 @@ class RayTracer:
         ray_directions: jnp.ndarray,   # [B, S, 3]
         key: Optional[jax.Array] = None,
         training: bool = False,
+        sphere_trace_fn: Optional[Callable] = None,
     ) -> TraceResult:
         B, S, _ = ray_directions.shape
         N = B * S
@@ -96,8 +98,14 @@ class RayTracer:
         mask_intersect = mask_intersect.reshape(N)
         object_mask = object_mask.reshape(N)
 
-        (acc_start, acc_end, unfinished_start, min_dis, max_dis, n_evals) = self._sphere_trace(
-            sdf_fn, cam, dirs, mask_intersect, near, far
+        # sphere_trace_fn: optional fused whole-trace kernel with the exact
+        # output contract of _sphere_trace (ops/pallas/fused_trace.py); the
+        # fallback sampler / min-SDF paths below still use sdf_fn.
+        trace_impl = sphere_trace_fn if sphere_trace_fn is not None else partial(
+            self._sphere_trace, sdf_fn
+        )
+        (acc_start, acc_end, unfinished_start, min_dis, max_dis, n_evals) = trace_impl(
+            cam, dirs, mask_intersect, near, far
         )
 
         network_object_mask = acc_start < acc_end
