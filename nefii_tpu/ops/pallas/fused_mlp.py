@@ -46,6 +46,26 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _embed(pts: jnp.ndarray, multires: int, x_pad: int) -> jnp.ndarray:
+    """Positional encoding (models/embedder.py layout), padded to x_pad lanes.
+
+    Runs INSIDE kernels (fused_trace.py always; here with embed_in_kernel=True)
+    so callers can pass raw [N,3] points instead of a pre-embedded [N,39]
+    buffer. Bit-identical to the XLA embedding; see build_fused_hidden's
+    docstring for the measured speed trade-off.
+    """
+    if multires <= 0:
+        parts = [pts]
+    else:
+        parts = [pts]
+        for k in range(multires):
+            freq = float(2.0 ** k)
+            parts.append(jnp.sin(pts * freq))
+            parts.append(jnp.cos(pts * freq))
+    x = jnp.concatenate(parts, axis=-1)
+    return jnp.pad(x, ((0, 0), (0, x_pad - x.shape[-1])))
+
+
 def _pad_to(arr: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     r, c = arr.shape
     return jnp.pad(arr, ((0, rows - r), (0, cols - c)))
@@ -88,11 +108,17 @@ def prepare_weights(network, params: Dict[str, Any]):
     return tuple(plan), weights
 
 
-def _kernel(plan, n_weights, x_ref, *refs):
+def _kernel(plan, n_weights, embed_cfg, x_ref, *refs):
     w_refs = refs[:n_weights]
     out_ref = refs[n_weights]
 
-    x = x_ref[:]  # [TM, x_pad] embedded input
+    if embed_cfg is not None:
+        # raw [TM, 8]-padded points in; embed in fp32, then working dtype
+        multires, x_pad, dtype = embed_cfg
+        pts = x_ref[:][:, :3].astype(jnp.float32)
+        x = _embed(pts, multires, x_pad).astype(dtype)
+    else:
+        x = x_ref[:]  # [TM, x_pad] pre-embedded input
     h = x
     wi = 0
     for kind, *dims in plan:
@@ -119,13 +145,21 @@ def _kernel(plan, n_weights, x_ref, *refs):
 
 
 def build_fused_hidden(network, params: Dict[str, Any], tile: int = 512, interpret: bool = False,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, embed_in_kernel: bool = False):
     """Return fn(pts [N,3]) -> last hidden state [N, width] via the fused kernel.
 
     N is padded up to a tile multiple. With dtype=bfloat16, weights and
     activations are bf16 (matmul accumulation stays fp32): ~2x VMEM headroom
     and higher MXU throughput at ~1e-2 relative SDF error — the TPU analogue
     of the reference benchmark's fp16 autocast (ray_tracing.py:397).
+
+    embed_in_kernel=True feeds raw [N,3] points and computes the positional
+    encoding inside the kernel (always fp32), skipping the concatenate/
+    relayout/pad chain XLA otherwise materialises in HBM. MEASURED (v5e,
+    1.64M pts, NeFII 8x512): bit-identical outputs but ~1.4x SLOWER than the
+    pre-embedded path even including that chain — Mosaic's per-tile sin/cos
+    serialises against the matmul pipeline. Default stays False; the option
+    documents the experiment and suits VMEM-pressured callers.
     """
     plan, weights = prepare_weights(network, params)
     if dtype != jnp.float32:
@@ -135,17 +169,23 @@ def build_fused_hidden(network, params: Dict[str, Any], tile: int = 512, interpr
     out_width = plan[-1][-1]
     n_w = len(weights)
 
-    kern = partial(_kernel, plan, n_w)
+    embed_cfg = (network.multires, x_pad, dtype) if embed_in_kernel else None
+    kern = partial(_kernel, plan, n_w, embed_cfg)
+    in_cols = 8 if embed_in_kernel else x_pad
+    in_dtype = jnp.float32 if embed_in_kernel else dtype
 
     def fn(pts: jnp.ndarray) -> jnp.ndarray:
         N = pts.shape[0]
         n_pad = _round_up(max(N, tile), tile)
-        x = embed_fn(pts)
-        x = jnp.pad(x, ((0, n_pad - N), (0, x_pad - x.shape[1]))).astype(dtype)
+        if embed_in_kernel:
+            x = jnp.pad(pts, ((0, n_pad - N), (0, in_cols - pts.shape[1]))).astype(in_dtype)
+        else:
+            x = embed_fn(pts)
+            x = jnp.pad(x, ((0, n_pad - N), (0, x_pad - x.shape[1]))).astype(dtype)
 
         grid = (n_pad // tile,)
         in_specs = [
-            pl.BlockSpec((tile, x_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tile, in_cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] + [pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM) for w in weights]
         # inside shard_map the inputs vary over the mesh axis; the output
         # varies the same way (per-shard rays) — propagate the vma so
@@ -169,9 +209,10 @@ def build_fused_hidden(network, params: Dict[str, Any], tile: int = 512, interpr
 
 
 def build_fused_sdf(network, params: Dict[str, Any], tile: int = 512, interpret: bool = False,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, embed_in_kernel: bool = False):
     """fn(pts [N,3]) -> sdf [N] — fused hidden chain + final linear in jnp."""
-    hidden_fn = build_fused_hidden(network, params, tile, interpret, dtype)
+    hidden_fn = build_fused_hidden(network, params, tile, interpret, dtype,
+                                   embed_in_kernel=embed_in_kernel)
     dims, _ = network._layer_dims()
     last = params["layers"][-1]
     w_last = effective_weight(last).T  # [in, d_out]

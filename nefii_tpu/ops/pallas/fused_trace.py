@@ -43,25 +43,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from nefii_tpu.models.mlp import effective_weight
-from nefii_tpu.ops.pallas.fused_mlp import HAVE_PALLAS, _round_up, prepare_weights
+from nefii_tpu.ops.pallas.fused_mlp import (
+    HAVE_PALLAS, _embed, _round_up, prepare_weights,
+)
 
 if HAVE_PALLAS:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-
-def _embed(pts: jnp.ndarray, multires: int, x_pad: int) -> jnp.ndarray:
-    """Positional encoding (models/embedder.py layout), padded to x_pad lanes."""
-    if multires <= 0:
-        parts = [pts]
-    else:
-        parts = [pts]
-        for k in range(multires):
-            freq = float(2.0 ** k)
-            parts.append(jnp.sin(pts * freq))
-            parts.append(jnp.cos(pts * freq))
-    x = jnp.concatenate(parts, axis=-1)
-    return jnp.pad(x, ((0, 0), (0, x_pad - x.shape[-1])))
 
 
 def _mlp_chain(plan, w_refs, x):
