@@ -150,8 +150,13 @@ def build_fused_hidden(network, params: Dict[str, Any], tile: int = 512, interpr
 
     N is padded up to a tile multiple. With dtype=bfloat16, weights and
     activations are bf16 (matmul accumulation stays fp32): ~2x VMEM headroom
-    and higher MXU throughput at ~1e-2 relative SDF error — the TPU analogue
-    of the reference benchmark's fp16 autocast (ray_tracing.py:397).
+    at ~1e-2 relative SDF error — the TPU analogue of the reference
+    benchmark's fp16 autocast (ray_tracing.py:397). MEASURED (v5e, 1.64M
+    pts): bf16 is only ~1.11x faster than fp32, and an activation ablation
+    (relu-only vs softplus: same time) plus a tile sweep (512 optimal fp32,
+    1024 bf16 +4%) show the kernel is NOT VPU/softplus-bound — the remaining
+    gap to MXU peak is the sequential inter-layer dependency within a tile.
+    fp32 stays the default for bit-parity with the jnp path.
 
     embed_in_kernel=True feeds raw [N,3] points and computes the positional
     encoding inside the kernel (always fp32), skipping the concatenate/
