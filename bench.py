@@ -165,31 +165,77 @@ def bench_train_step() -> float:
         background_rgb_weight=1.0,
     )
     grad_fn = spmd.make_grad_fn(model, loss, mesh, freeze_geo=True)(batch, gt)
-    sg_tx = optax.adam(5e-4)
-    sg_state = sg_tx.init(params)
 
-    def train_step(params, sg_state, batch, gt, key, alpha):
-        ld, grads, _ = grad_fn(params, batch, gt, key, alpha)
-        updates, sg_state = sg_tx.update(grads, sg_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, sg_state, ld["loss"]
+    # Take the geometry off its pathological init first: on the pristine
+    # geometric-init sphere every tracer while-loop runs worst-case (the
+    # back-step line search fires for essentially all rays, ~2.6x the step
+    # time — measured 1.01 s/step at init vs 0.40 s/step after the surface
+    # has moved). Two warmup adam steps over the full tree (same grads the
+    # frozen step computes; an unfrozen second-order grad would OOM at this
+    # scale) give a representative surface, like the trained Step-1 geometry
+    # that real Step-2 training freezes.
+    warm_tx = optax.adam(5e-4)
+    warm_state = warm_tx.init(params)
+
+    def warm_step(p, s, key):
+        _, g, _ = grad_fn(p, batch, gt, key, jnp.float32(50.0))
+        u, s = warm_tx.update(g, s, p)
+        return optax.apply_updates(p, u), s
 
     with mesh:
-        step = jax.jit(train_step)
+        wstep = jax.jit(warm_step)
+        for i in range(2):
+            params, warm_state = wstep(params, warm_state, jax.random.PRNGKey(1000 + i))
+        jax.block_until_ready(params)
+    del warm_state
+
+    # both optimizers, as the real trainer step applies them
+    # (trainer.py:317-320); freeze_geometry zeroes implicit updates there,
+    # matched here by masking the idr optimizer to rendering only
+    def label_tree(params, train_keys):
+        return {k: jax.tree_util.tree_map(
+            lambda _: "train" if k in train_keys else "zero", v)
+            for k, v in params.items()}
+
+    idr_tx = optax.multi_transform(
+        {"train": optax.adam(5e-4), "zero": optax.set_to_zero()},
+        param_labels=label_tree(params, ("rendering_network",)),
+    )
+    sg_tx = optax.multi_transform(
+        {"train": optax.adam(5e-4), "zero": optax.set_to_zero()},
+        param_labels=label_tree(params, ("envmap_material_network",)),
+    )
+    idr_state = idr_tx.init(params)
+    sg_state = sg_tx.init(params)
+
+    def train_step(params, idr_state, sg_state, batch, gt, key, alpha):
+        ld, grads, _ = grad_fn(params, batch, gt, key, alpha)
+        idr_updates, idr_state = idr_tx.update(grads, idr_state, params)
+        params = optax.apply_updates(params, idr_updates)
+        sg_updates, sg_state = sg_tx.update(grads, sg_state, params)
+        params = optax.apply_updates(params, sg_updates)
+        return params, idr_state, sg_state, ld["loss"]
+
+    with mesh:
+        # donate params + optimizer states exactly like the real trainer step
+        # (trainer.py jit donate_argnums=(0,1,2)) — without donation the two
+        # optimizer states push the secondary-fan-out activations over the
+        # HBM limit and XLA spills (measured: 0.95 s/step vs 0.39 donated)
+        step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         # compile + 2 warmup executions (the first post-compile execution
         # includes one-time buffer/donation setup on the remote backend)
         for i in range(2):
-            params, sg_state, l = step(
-                params, sg_state, batch, gt, jax.random.PRNGKey(i),
+            params, idr_state, sg_state, l = step(
+                params, idr_state, sg_state, batch, gt, jax.random.PRNGKey(i),
                 jnp.float32(50.0),
             )
             float(l)
         times = []
         for i in range(3):
             t0 = time.perf_counter()
-            params, sg_state, l = step(
-                params, sg_state, batch, gt, jax.random.PRNGKey(100 + i),
-                jnp.float32(50.0),
+            params, idr_state, sg_state, l = step(
+                params, idr_state, sg_state, batch, gt,
+                jax.random.PRNGKey(100 + i), jnp.float32(50.0),
             )
             float(l)  # host readback forces remote completion
             times.append(time.perf_counter() - t0)

@@ -176,8 +176,11 @@ class IDRNetwork:
 
                     dtype = jnp.bfloat16 if self.fused_sdf_dtype == "bfloat16" else jnp.float32
                     return build_fused_sdf(imp, p_imp, dtype=dtype)
-            except Exception:
-                pass
+            except Exception as e:
+                import warnings
+
+                warnings.warn(f"use_fused_sdf=True but kernel build failed ({e}); "
+                              "using the jnp SDF")
         return lambda x: imp.sdf(p_imp, x)
 
     def _fused_trace_closure(self, p_imp, tracer):
@@ -194,8 +197,13 @@ class IDRNetwork:
                 from nefii_tpu.ops.pallas.fused_trace import build_fused_sphere_trace
 
                 return build_fused_sphere_trace(self.implicit_network, p_imp, tracer)
-        except Exception:
-            pass
+        except Exception as e:
+            # fall back to the jnp tracer, but say so — otherwise the user
+            # benchmarks "the fused kernel" on a path that never ran
+            import warnings
+
+            warnings.warn(f"use_fused_trace=True but kernel build failed ({e}); "
+                          "using the jnp tracer")
         return None
 
     def init_params(self, key: jax.Array) -> Dict[str, Any]:

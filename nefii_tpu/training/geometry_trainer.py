@@ -122,8 +122,13 @@ class GeometryTrainRunner:
         from jax.sharding import PartitionSpec as P
 
         n_dev = kwargs.get("n_devices") or len(jax.devices())
+        requested_dev = n_dev
         while n_dev > 1 and self.batch_points % n_dev != 0:
             n_dev -= 1
+        if n_dev != requested_dev:
+            print(f"geometry_train: batch_points={self.batch_points} not divisible "
+                  f"by {requested_dev} devices; using a {n_dev}-device mesh "
+                  "(pick a divisible batch_points to use every device)")
         self.mesh = make_mesh(n_dev)
 
         def local_step(params, opt_state, pts, sdf_gt):

@@ -204,7 +204,12 @@ class IDRTrainRunner:
         self._step_cache: Dict[Any, Any] = {}
         self._writer = None
         self.log_freq = max(50 // self.batch_size, 1)
-        self.cur_iter = self.start_epoch * len(self.train_dataset)
+        # estimate the resume iteration from the epoch only when the exact
+        # checkpointed cur_iter was not restored (reference idr_train.py uses
+        # start_epoch * n_batches, i.e. batches per epoch, not images)
+        if self.cur_iter == 0:
+            steps_per_epoch = max(1, len(self.train_dataset) // self.batch_size)
+            self.cur_iter = self.start_epoch * steps_per_epoch
 
     # ------------------------------------------------------------------
     def _idr_labels(self):
@@ -465,13 +470,17 @@ class IDRTrainRunner:
                     print(f"Training reached max iters {self.cur_iter}; exiting")
                     return
 
+                # NOTE: unlike the reference DataLoader (no drop_last,
+                # idr_train.py:152-160, which trains a smaller final batch),
+                # the remainder images are dropped each epoch — a partial
+                # batch would change the jitted step's static shapes. The
+                # shuffle differs per epoch, so every image still trains.
                 order = np.random.default_rng(epoch).permutation(n_images)
                 for step_i in range(max(1, n_images // self.batch_size)):
+                    # batch_size > n_images degenerates to one all-image batch
                     img_ids = order[
                         step_i * self.batch_size : (step_i + 1) * self.batch_size
                     ]
-                    if img_ids.size == 0:
-                        img_ids = order[:1]
                     if self.loss.sample_each_iter:
                         self._sample_pixels(self.cur_iter)
 
@@ -482,8 +491,8 @@ class IDRTrainRunner:
                     if self.val_freq > 0 and self.cur_iter % max(self.val_freq // self.batch_size, 1) == 0:
                         self.vis("test", self.cur_iter)
 
-                    # stack batch_size images per step, matching the reference
-                    # DataLoader semantics (idr_train.py:152-160)
+                    # stack batch_size images per step (reference
+                    # idr_train.py:152-160; drop-last divergence noted above)
                     indices, model_input, ground_truth = self.train_dataset.collate(
                         [self.train_dataset[int(i)] for i in img_ids]
                     )

@@ -115,9 +115,11 @@ def lpips(pred: np.ndarray, gt: np.ndarray, weights_path: Optional[str] = None) 
         a = torch.from_numpy(np.moveaxis(pred, -1, 0)[None]).float() * 2 - 1
         b = torch.from_numpy(np.moveaxis(gt, -1, 0)[None]).float() * 2 - 1
         return float(net(a, b).item())
-    except ImportError:
+    except Exception as e:  # ImportError, or the AlexNet weight download
+        # failing offline (URLError/OSError from torchvision) — callers catch
+        # RuntimeError and report "lpips: unavailable" instead of crashing
         raise RuntimeError(
             "LPIPS requires the `lpips` package with pretrained AlexNet weights, "
-            "which are unavailable in this offline environment. PSNR/SSIM/MS-SSIM "
-            "are reported instead."
+            "which are unavailable in this offline environment "
+            f"({type(e).__name__}: {e}). PSNR/SSIM/MS-SSIM are reported instead."
         )

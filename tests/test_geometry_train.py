@@ -121,12 +121,15 @@ def test_geometry_step_sharded_equals_single(mesh_file, tmp_path):
     rng = np.random.RandomState(0)
     pts = rng.uniform(-1, 1, (512, 3)).astype(np.float32)
     sdf_gt = rng.uniform(-0.2, 0.2, (512, 1)).astype(np.float32)
+    losses = []
     for r in (r1, r8):
         for _ in range(3):
             r.params, r.opt_state, loss = r._step(
                 r.params, r.opt_state, jnp.asarray(pts), jnp.asarray(sdf_gt)
             )
-    l1, l8 = float(loss), float(loss)
+        losses.append(float(loss))
+    l1, l8 = losses
+    np.testing.assert_allclose(l8, l1, rtol=2e-5)
     p1 = jax.tree_util.tree_leaves(r1.params["implicit_network"])
     p8 = jax.tree_util.tree_leaves(r8.params["implicit_network"])
     for a, b in zip(p1, p8):

@@ -33,11 +33,11 @@ def test_fused_kernel_matches_jnp_interpret():
     hf = build_fused_hidden(net, params, tile=256, interpret=True)(pts)[:, :512]
     np.testing.assert_allclose(np.asarray(hf), np.asarray(href), atol=2e-6)
 
-    # pre-embedded variant (embed_in_kernel=False) must agree too
-    fused_pre = build_fused_sdf(
-        net, params, tile=256, interpret=True, embed_in_kernel=False
+    # in-kernel-embedding variant must agree too
+    fused_ik = build_fused_sdf(
+        net, params, tile=256, interpret=True, embed_in_kernel=True
     )(pts)
-    np.testing.assert_allclose(np.asarray(fused_pre), np.asarray(ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(fused_ik), np.asarray(ref), atol=2e-6)
 
 
 def test_fused_kernel_narrow_net():

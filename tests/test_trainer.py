@@ -187,6 +187,16 @@ def test_train_smoke_and_checkpoint_resume(scene_dir, tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    # the exact checkpointed iteration is restored, not recomputed from the
+    # epoch (which would inflate it by ~batch_size for batch_size > 1)
+    assert runner2.cur_iter == runner.cur_iter
+
+    runner3 = _make_runner(
+        scene_dir, tmp_path, is_continue=True, timestamp=runner.timestamp,
+        expname="test_scene", batch_size=2,
+    )
+    assert runner3.cur_iter == runner.cur_iter
+
 
 def test_batch_size_two_trains_on_both_images(scene_dir, tmp_path):
     """--batch_size stacks B images per step and both contribute to the loss
