@@ -266,3 +266,135 @@ def test_forward_with_uv_sg_parity(physg_pair):
         b = _n(ref_out[k])[both]
         p = _psnr(a, b)
         assert p >= 80.0, f"{k}: PSNR {p:.1f} dB < 80 dB"
+
+
+# ---------------------------------------------------------------------------
+# path-tracing machinery: the deterministic core of the pt_render_* family
+# (samplers are stochastic with different RNGs; their pdf functions, frame
+# rotation, MIS weights and SG light evaluation are deterministic and must
+# match the reference bitwise-close — path_tracing_render.py:12-414)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ptr_ref():
+    return import_reference("model.path_tracing_render")
+
+
+def _pt_inputs(n=257, m=16, seed=3):
+    rng = np.random.RandomState(seed)
+    normal = _rand_unit(n, seed)
+    # viewdir in the normal's hemisphere, wi anywhere on the sphere
+    view = _rand_unit(n, seed + 1)
+    view = np.where(np.sum(view * normal, -1, keepdims=True) < 0, -view, view)
+    wi = _rand_unit(n, seed + 2)
+    rough = rng.uniform(0.1, 0.9, (n, 1)).astype(np.float32)
+    lgt = rng.normal(size=(m, 7)).astype(np.float32)
+    lgt[:, 3] = np.abs(lgt[:, 3]) * 20 + 1
+    lgt[:, 4:] = np.abs(lgt[:, 4:])
+    return wi, normal, view, rough, lgt
+
+
+def test_rotate_to_normal_parity(ptr_ref):
+    from nefii_tpu.ops import sampling
+
+    _, normal, _, _, _ = _pt_inputs()
+    rng = np.random.RandomState(11)
+    xyz = rng.normal(size=normal.shape).astype(np.float32)
+    ours = sampling.rotate_to_normal(jnp.asarray(xyz), jnp.asarray(normal))
+    ref = ptr_ref.rotate_to_normal(_t(xyz), _t(normal))
+    np.testing.assert_allclose(np.asarray(ours), _n(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_pdf_fns_parity(ptr_ref):
+    from nefii_tpu.ops import sampling
+
+    wi, normal, view, rough, lgt = _pt_inputs()
+    # drop near-degenerate wi ~ -view pairs: the half-vector normalisation is
+    # ill-conditioned there and both implementations emit fp noise (the EXACT
+    # degenerate case has a defined fallback, asserted below)
+    ok = np.linalg.norm(wi + view, axis=-1) > 1e-2
+    wi, normal, view, rough = wi[ok], normal[ok], view[ok], rough[ok]
+    pairs = [
+        (sampling.pdf_fn_cos, ptr_ref.pdf_fn_cos),
+        (sampling.pdf_fn_brdf_ggx, ptr_ref.pdf_fn_brdf_gxx),
+        (sampling.pdf_fn_mix_sg, ptr_ref.pdf_fn_mix_sg),
+    ]
+    for ours_fn, ref_fn in pairs:
+        ours = ours_fn(
+            jnp.asarray(wi), jnp.asarray(normal), jnp.asarray(view),
+            jnp.asarray(rough), jnp.asarray(lgt),
+        )
+        ref = ref_fn(_t(wi), _t(normal), _t(view), _t(rough), _t(lgt))
+        # GGX pdfs reach O(10^2) on sharp lobes; 1e-3 relative covers fp32
+        # op-order noise between the two stable-form evaluations
+        np.testing.assert_allclose(
+            np.asarray(ours), _n(ref), rtol=1e-3, atol=1e-6,
+            err_msg=ours_fn.__name__,
+        )
+
+    # GGX degenerate case wi == -viewdir falls back to the normal (:109-111)
+    ours = sampling.pdf_fn_brdf_ggx(
+        jnp.asarray(-view), jnp.asarray(normal), jnp.asarray(view),
+        jnp.asarray(rough), None,
+    )
+    ref = ptr_ref.pdf_fn_brdf_gxx(_t(-view), _t(normal), _t(view), _t(rough), None)
+    np.testing.assert_allclose(np.asarray(ours), _n(ref), rtol=1e-4, atol=1e-6)
+
+
+def test_pdf_mix_sg_shared_fast_path_parity(ptr_ref):
+    """The TPU [N,M]-matmul fast path must match the reference broadcast."""
+    from nefii_tpu.ops import sampling
+
+    wi, normal, view, rough, lgt = _pt_inputs()
+    ours = sampling.pdf_fn_mix_sg_shared(
+        jnp.asarray(wi), jnp.asarray(normal), jnp.asarray(view),
+        jnp.asarray(rough), jnp.asarray(lgt),
+    )
+    ref = ptr_ref.pdf_fn_mix_sg(_t(wi), _t(normal), _t(view), _t(rough), _t(lgt))
+    np.testing.assert_allclose(np.asarray(ours), _n(ref), rtol=1e-4, atol=1e-6)
+
+
+def test_pdf_constant_2d_light_parity(ptr_ref):
+    from nefii_tpu.ops import sampling
+
+    wi, normal, view, rough, _ = _pt_inputs()
+    rng = np.random.RandomState(5)
+    lgtMap = rng.uniform(0.0, 4.0, (32, 64, 3)).astype(np.float32)
+    ours = sampling.pdf_fn_constant_2d_light(
+        jnp.asarray(wi), jnp.asarray(normal), jnp.asarray(view),
+        jnp.asarray(rough), jnp.asarray(lgtMap),
+    )
+    ref = ptr_ref.pdf_fn_constant_2d_light(
+        _t(wi), _t(normal), _t(view), _t(rough), _t(lgtMap)
+    )
+    np.testing.assert_allclose(np.asarray(ours), _n(ref), rtol=1e-4, atol=1e-6)
+
+
+def test_power_heuristic_and_sg_light_parity(ptr_ref):
+    from nefii_tpu.ops import sampling
+
+    wi, normal, view, rough, lgt = _pt_inputs()
+    pdfs = [
+        sampling.pdf_fn_cos(jnp.asarray(wi), jnp.asarray(normal), None, None, None),
+        sampling.pdf_fn_brdf_ggx(
+            jnp.asarray(wi), jnp.asarray(normal), jnp.asarray(view),
+            jnp.asarray(rough), None,
+        ),
+        sampling.pdf_fn_mix_sg(
+            jnp.asarray(wi), jnp.asarray(normal), jnp.asarray(view),
+            jnp.asarray(rough), jnp.asarray(lgt),
+        ),
+    ]
+    t_pdfs = [_t(np.asarray(p)) for p in pdfs]
+    for idx in range(3):
+        ours = sampling.power_heuristic_list([1.0, 2.0, 3.0], pdfs, idx)
+        ref = ptr_ref.power_heuristic_list([1.0, 2.0, 3.0], t_pdfs, idx)
+        np.testing.assert_allclose(np.asarray(ours), _n(ref), rtol=1e-5, atol=1e-7)
+
+    # SG mixture radiance evaluation (the light term in every pt_render_*)
+    lobes = lgt[:, :3] / np.linalg.norm(lgt[:, :3], axis=-1, keepdims=True)
+    ref_light = ptr_ref.sg_fn(
+        _t(wi).unsqueeze(-2), _t(lobes), _t(lgt[:, 3:4]), _t(lgt[:, 4:])
+    ).sum(-2)
+    ours_light = sampling.sg_light_eval(jnp.asarray(wi), jnp.asarray(lgt))
+    np.testing.assert_allclose(np.asarray(ours_light), _n(ref_light), rtol=1e-4, atol=1e-5)
