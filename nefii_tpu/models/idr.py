@@ -108,6 +108,12 @@ class IDRNetwork:
     #    early exit) — ops/pallas/fused_trace.py. Per-ray results identical to
     #    the jnp tracer; fallback sampler/min-SDF stages are unaffected.
     use_fused_trace: bool = False
+    #  - remat_strategies: jax.checkpoint each MIS strategy's visibility/
+    #    indirect/shading block during training — caps peak activation memory
+    #    at ONE strategy's secondary MLP evals instead of all three, for
+    #    ~1 extra forward per strategy in the backward. The memory valve that
+    #    lets UNFROZEN-geometry training fit at the reference scale.
+    remat_strategies: bool = False
     shade_fraction: float = 1.0
     #  - secondary_ray_tracer: tracer override for the secondary-ray fan-out
     #    (3 MIS strategies x S·R rays). The reference traces secondary rays
@@ -157,6 +163,7 @@ class IDRNetwork:
             use_fused_sdf=conf.get_bool("use_fused_sdf", default=False),
             fused_sdf_dtype=conf.get_string("fused_sdf_dtype", default="float32"),
             use_fused_trace=conf.get_bool("use_fused_trace", default=False),
+            remat_strategies=conf.get_bool("remat_strategies", default=False),
             shade_fraction=conf.get_float("shade_fraction", default=1.0),
             secondary_ray_tracer=secondary_tracer,
         )
@@ -584,7 +591,8 @@ class IDRNetwork:
                 mat["sg_roughness"], mat["sg_diffuse_albedo"], normals,
                 view_dirs, points, scene,
                 blending_weights=mat["sg_blending_weights"],
-                training=training, **opts,
+                training=training, remat_strategies=self.remat_strategies,
+                **opts,
             )
 
         ret.update(sg_ret)

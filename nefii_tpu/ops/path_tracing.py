@@ -184,6 +184,7 @@ def pt_render_core(
     diffuse_rgb: Optional[jnp.ndarray] = None,
     speed_first: bool = True,
     training: bool = False,
+    remat_strategies: bool = False,  # jax.checkpoint each strategy's block
 ) -> Dict[str, jnp.ndarray]:
     N = normal.shape[0]
     S = len(strategies)
@@ -301,49 +302,40 @@ def pt_render_core(
                 new_hits.append((lp, hm, ds))
             hit_list = new_hits
 
-    # ---- visibility + indirect radiance ----------------------------------
-    visible_list: List[Optional[jnp.ndarray]] = []
-    indirect_list: List[Optional[jnp.ndarray]] = []
-    for i in range(S):
+    # ---- per-strategy visibility/indirect + shading -----------------------
+    # One function per strategy so `remat_strategies` can jax.checkpoint it:
+    # the secondary MLP activations (visibility features + indirect radiance
+    # over S*N points) dominate training memory; rematerialising each
+    # strategy's block caps the peak at ONE strategy's activations.
+    def strategy_contrib(i, lgtSGs, specular_reflectance, roughness,
+                         diffuse_albedo, normal, viewdirs, wi, pdf, pdf_row,
+                         lp, hm, ds):
         if shadow is None:
-            visible_list.append(None)
-            indirect_list.append(None)
+            visible, indirect = None, None
         elif shadow == "hard":
-            visible_list.append(1.0 - hit_list[i][1].astype(jnp.float32))
-            indirect_list.append(None)
+            visible, indirect = 1.0 - hm.astype(jnp.float32), None
         elif shadow == "soft":
             # differentiable soft visibility, no indirect (reference :973-986)
-            sdf_value = jax.nn.relu(scene.implicit(hit_list[i][0])[:, 0:1])
-            vis = 1 - jnp.log(1 + jnp.exp(-50.0 * sdf_value)) / np.log(2.0)
-            visible_list.append(vis)
-            indirect_list.append(None)
+            sdf_value = jax.nn.relu(scene.implicit(lp)[:, 0:1])
+            visible = 1 - jnp.log(1 + jnp.exp(-50.0 * sdf_value)) / np.log(2.0)
+            indirect = None
         elif shadow == "indirect":
-            lp, hm, ds = hit_list[i]
-            vis, ind = visibility_and_indirect(
-                scene, lp, hm, ds, wi_list[i], stop_grad(points), diff_geo
+            visible, indirect = visibility_and_indirect(
+                scene, lp, hm, ds, wi, stop_grad(points), diff_geo
             )
-            visible_list.append(vis)
-            indirect_list.append(ind)
         else:
             raise ValueError(shadow)
 
-    # ---- shading (differentiable in light + materials) --------------------
-    specular_final = 0.0
-    diffuse_final = 0.0
-    for i in range(S):
-        wi = wi_list[i]
-        pdf = pdf_list[i]
-
         if light_type == "sg":
-            light = sampling.sg_light_eval(wi, lgtSGs)  # [N,3], grads flow to lgtSGs
+            light = sampling.sg_light_eval(wi, lgtSGs)  # grads flow to lgtSGs
         else:
             light = sampling.envmap_lookup(wi, lgtSGs)
 
-        if visible_list[i] is not None:
-            if indirect_list[i] is not None:
-                light = light * visible_list[i] + (1 - visible_list[i]) * indirect_list[i]
+        if visible is not None:
+            if indirect is not None:
+                light = light * visible + (1 - visible) * indirect
             else:
-                light = light * visible_list[i]
+                light = light * visible
 
         if roughness.ndim == 2 and roughness.shape[0] not in (N, 1) and not blend_materials:
             # K>1 global materials without blending: sum over K (reference :628-682)
@@ -354,12 +346,27 @@ def pt_render_core(
         else:
             fs = ggx_brdf_direct(wi, normal, viewdirs, roughness, specular_reflectance)
 
-        weight = sampling.power_heuristic_list([1] * S, pdf_matrix[i], i)
+        weight = sampling.power_heuristic_list([1] * S, pdf_row, i)
         w_i_dot_n = jnp.clip(jnp.sum(wi * normal, -1, keepdims=True), 0.0)
 
         spec = jnp.clip(weight * light * fs * w_i_dot_n / pdf, 0.0)
         diff = jnp.clip(
             weight * light * (diffuse_albedo / np.pi) * w_i_dot_n / pdf, 0.0
+        )
+        return spec, diff
+
+    contrib = strategy_contrib
+    if remat_strategies:
+        contrib = jax.checkpoint(strategy_contrib, static_argnums=(0,))
+
+    specular_final = 0.0
+    diffuse_final = 0.0
+    for i in range(S):
+        lp, hm, ds = hit_list[i] if hit_list else (None, None, None)
+        spec, diff = contrib(
+            i, lgtSGs, specular_reflectance, roughness, diffuse_albedo,
+            normal, viewdirs, wi_list[i], pdf_list[i], pdf_matrix[i],
+            lp, hm, ds,
         )
         specular_final = specular_final + spec
         diffuse_final = diffuse_final + diff

@@ -61,6 +61,7 @@ def make_grad_fn(
     fake_specular: bool = False,
     with_secondary: bool = True,
     train_cameras: bool = False,
+    remat: bool = False,
 ):
     """Build the shard-mapped (loss, grads, secondary) function for training.
 
@@ -69,6 +70,13 @@ def make_grad_fn(
     gathered by `batch['pose_indices']` into the forward's pose input and a
     (replicated) gradient w.r.t. the full embedding is returned (non-batch
     rows receive zero gradient — the reference's SparseAdam rows).
+
+    `remat` wraps the forward in `jax.checkpoint`: the backward recomputes
+    the forward instead of storing its activations, trading ~1 extra forward
+    for the activation memory — the TPU analogue of the reference's
+    `memory_capacity_level` chunking pressure valve. Unfrozen-geometry
+    training at the reference scale (2048 px x 64 rays) needs 19.2 GB of
+    activations without it (v5e HBM is 15.75 GB).
     """
 
     from nefii_tpu.models.idr import PT_RENDER_TYPES
@@ -81,6 +89,15 @@ def make_grad_fn(
         ("secondary_points", "secondary_mask", "secondary_dir") if has_secondary else ()
     )
 
+    def fwd(p, b, key):
+        return model.forward(
+            p, b, key, training=True, freeze_geo=freeze_geo,
+            fake_roughness=fake_roughness, fake_specular=fake_specular,
+        )
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
+
     def local_fn(params, pose_vecs, batch, gt, key, alpha):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
@@ -88,10 +105,7 @@ def make_grad_fn(
             b = dict(batch)
             if train_cameras:
                 b["pose"] = pv[b.pop("pose_indices")]
-            out = model.forward(
-                p, b, key, training=True, freeze_geo=freeze_geo,
-                fake_roughness=fake_roughness, fake_specular=fake_specular,
-            )
+            out = fwd(p, b, key)
             ld = loss(out, gt, alpha=alpha, axis_name=axis_name)
             return ld["loss"], (ld, out)
 

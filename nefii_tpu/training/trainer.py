@@ -307,6 +307,7 @@ class IDRTrainRunner:
             freeze_geo=self.freeze_geometry or self.freeze_idr,
             fake_roughness=fake_r, fake_specular=fake_s,
             train_cameras=self.train_cameras,
+            remat=self.conf.get_bool("train.remat", default=False),
         )(sample_batch, sample_gt)
 
         if self.train_cameras:
