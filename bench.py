@@ -166,28 +166,60 @@ def bench_train_step() -> float:
     )
     grad_fn = spmd.make_grad_fn(model, loss, mesh, freeze_geo=True)(batch, gt)
 
-    # Take the geometry off its pathological init first: on the pristine
-    # geometric-init sphere every tracer while-loop runs worst-case (the
-    # back-step line search fires for essentially all rays, ~2.6x the step
-    # time — measured 1.01 s/step at init vs 0.40 s/step after the surface
-    # has moved). Two warmup adam steps over the full tree (same grads the
-    # frozen step computes; an unfrozen second-order grad would OOM at this
-    # scale) give a representative surface, like the trained Step-1 geometry
-    # that real Step-2 training freezes.
-    warm_tx = optax.adam(5e-4)
-    warm_state = warm_tx.init(params)
+    # Give the benchmark a representative TRAINED geometry first: real Step-2
+    # training always starts from a trained Step-1 SDF (robot/run_s2.sh:10,21)
+    # and the tracer's cost is data-dependent (a degenerate SDF whose values
+    # collapse toward zero lets every trace while-loop exit instantly —
+    # measured 0.35 s/step on such a surface vs ~1.0 s on a real one; an
+    # earlier revision of this benchmark under-reported the step time that
+    # way). Reproduce a trained surface deterministically with a quick
+    # Step-1-style regression of the implicit net to an analytic blobby
+    # three-sphere union (geometry_trainer semantics: L1 on true sdf values,
+    # near-surface-weighted sampling like SDFDataset). 500 adam steps reach
+    # ~0.98 mean gradient norm and an 80%+ trace hit rate on the bench rays.
+    centers = np.asarray(
+        [[0.25, 0.0, 0.0], [-0.2, 0.15, 0.1], [0.0, -0.25, -0.15]], np.float32
+    )
+    radii = np.asarray([0.45, 0.35, 0.3], np.float32)
 
-    def warm_step(p, s, key):
-        _, g, _ = grad_fn(p, batch, gt, key, jnp.float32(50.0))
-        u, s = warm_tx.update(g, s, p)
-        return optax.apply_updates(p, u), s
+    def sdf_gt(p):
+        d = jnp.linalg.norm(p[:, None, :] - jnp.asarray(centers)[None], axis=-1)
+        return (d - jnp.asarray(radii)[None]).min(-1)
 
-    with mesh:
-        wstep = jax.jit(warm_step)
-        for i in range(2):
-            params, warm_state = wstep(params, warm_state, jax.random.PRNGKey(1000 + i))
-        jax.block_until_ready(params)
-    del warm_state
+    n_fit, fit_bs = 500, 8192
+    fit_rng = np.random.RandomState(11)
+    k = fit_bs // 2
+    ci = fit_rng.randint(0, 3, (n_fit, k))
+    nd = fit_rng.normal(size=(n_fit, k, 3))
+    nd /= np.linalg.norm(nd, axis=-1, keepdims=True)
+    near_pts = centers[ci] + nd * (
+        radii[ci][..., None] + fit_rng.normal(scale=0.05, size=(n_fit, k, 1))
+    )
+    uni_pts = fit_rng.uniform(-1.0, 1.0, (n_fit, fit_bs - k, 3))
+    fit_pts = jnp.asarray(
+        np.concatenate([near_pts, uni_pts], axis=1), jnp.float32
+    )
+
+    imp = model.implicit_network
+    geo_tx = optax.adam(1e-3)
+
+    def geo_step(carry, pts):
+        p_imp, s = carry
+
+        def l1(p):
+            return jnp.abs(imp.sdf(p, pts) - sdf_gt(pts)).mean()
+
+        g = jax.grad(l1)(p_imp)
+        u, s = geo_tx.update(g, s, p_imp)
+        return (optax.apply_updates(p_imp, u), s), None
+
+    p_imp = params["implicit_network"]
+    (p_imp, _), _ = jax.jit(
+        lambda c, xs: jax.lax.scan(geo_step, c, xs)
+    )((p_imp, geo_tx.init(p_imp)), fit_pts)
+    jax.block_until_ready(p_imp)
+    params = dict(params, implicit_network=p_imp)
+    del fit_pts
 
     # both optimizers, as the real trainer step applies them
     # (trainer.py:317-320); freeze_geometry zeroes implicit updates there,

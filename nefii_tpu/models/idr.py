@@ -190,6 +190,35 @@ class IDRNetwork:
                               "using the jnp SDF")
         return lambda x: imp.sdf(p_imp, x)
 
+    def _sfg_closure(self, p_imp, value_only: bool):
+        """(sdf, feature, spatial-grad) closure for the shading path.
+
+        When all three outputs are values — frozen geometry (the shipped
+        Step-2 workflow) or eval rendering — the fused Pallas forward+
+        input-backward kernel replaces the XLA autodiff chain on TPU
+        (measured 1.5x at the train step's 524k-point shading load).
+        Otherwise the jnp path keeps parameter gradients and second-order
+        AD intact."""
+        imp = self.implicit_network
+        if value_only and self.use_fused_sdf:
+            try:
+                import jax as _jax
+
+                if _jax.default_backend() == "tpu":
+                    from nefii_tpu.ops.pallas.fused_mlp import (
+                        build_fused_sdf_feature_grad,
+                    )
+
+                    return build_fused_sdf_feature_grad(imp, stop_grad(p_imp))
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"use_fused_sdf=True but grad-kernel build failed ({e}); "
+                    "using the jnp sdf_feature_grad"
+                )
+        return lambda pts: imp.sdf_feature_grad(p_imp, pts)
+
     def _fused_trace_closure(self, p_imp, tracer):
         """Whole-trace Pallas kernel for `tracer`, or None (jnp path).
 
@@ -222,8 +251,12 @@ class IDRNetwork:
         }
 
     # ------------------------------------------------------------------
-    def scene_fns(self, params: Dict[str, Any]) -> ptr.SceneFns:
-        """Closures over params for the path tracer's model callbacks."""
+    def scene_fns(self, params: Dict[str, Any], value_only: bool = False) -> ptr.SceneFns:
+        """Closures over params for the path tracer's model callbacks.
+
+        `value_only=True` (frozen geometry / eval) lets `implicit_with_grad`
+        use the fused Pallas forward+input-gradient kernel — the secondary
+        visibility/indirect queries are 3x the primary shading load."""
         imp = self.implicit_network
         rend = self.rendering_network
         p_imp = params["implicit_network"]
@@ -257,7 +290,7 @@ class IDRNetwork:
             radiance=lambda pts, n, v, f: rend(p_rend, pts, n, v, f),
             feature_size=self.feature_vector_size,
             bounding_sphere=self.object_bounding_sphere,
-            implicit_with_grad=lambda pts: imp.sdf_feature_grad(p_imp, pts),
+            implicit_with_grad=self._sfg_closure(p_imp, value_only),
         )
 
     # ------------------------------------------------------------------
@@ -290,6 +323,14 @@ class IDRNetwork:
         self, params, inputs, key, *, training=False, freeze_geo=False,
         fake_roughness=False, fake_specular=False,
     ):
+        if training and freeze_geo:
+            # the reference freezes geometry with requires_grad_(False)
+            # (implicit_differentiable_renderer.py:264-275); cutting the
+            # param leaves here prunes the whole implicit backward from the
+            # compiled step instead of computing gradients the optimizer
+            # mask would zero
+            params = dict(params, implicit_network=stop_grad(params["implicit_network"]))
+
         intrinsics = inputs["intrinsics"]
         uv = inputs["uv"]
         pose = inputs["pose"]
@@ -496,6 +537,11 @@ class IDRNetwork:
         self, params, inputs, key, *, fake_roughness=False, fake_specular=False
     ):
         """Secondary self-distillation forward (reference :503-527)."""
+        # the reference force-freezes geometry for the whole secondary
+        # distillation step (idr_train.py:515-518 via :804-852) — implicit
+        # gradients must be exactly zero here
+        params = dict(params, implicit_network=stop_grad(params["implicit_network"]))
+
         points = inputs["points"]      # [N,R,3]
         ray_dirs = inputs["ray_dirs"]  # [N,R,3]
         N, R, _ = points.shape
@@ -521,10 +567,12 @@ class IDRNetwork:
         """Shading dispatch (reference :529-599). points/view_dirs [N,3]."""
         imp = self.implicit_network
         p_imp = params["implicit_network"]
+        value_only = freeze_geo or not training
 
         # one fused forward+backward gives features AND normals (vs the
-        # reference's two forwards + double-backprop, :533-540)
-        _, feature_vectors, g = imp.sdf_feature_grad(p_imp, points)
+        # reference's two forwards + double-backprop, :533-540); in
+        # value-only contexts the Pallas grad kernel takes over on TPU
+        _, feature_vectors, g = self._sfg_closure(p_imp, value_only)(points)
         if self.feature_vector_size == 0:
             feature_vectors = None
         if freeze_geo or not training:
@@ -585,7 +633,7 @@ class IDRNetwork:
             )
         else:
             opts = PT_RENDER_TYPES[self.render_type]
-            scene = self.scene_fns(params)
+            scene = self.scene_fns(params, value_only=value_only)
             sg_ret = ptr.pt_render_core(
                 key, mat["sg_lgtSGs"], mat["sg_specular_reflectance"],
                 mat["sg_roughness"], mat["sg_diffuse_albedo"], normals,

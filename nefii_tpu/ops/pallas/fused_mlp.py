@@ -213,6 +213,192 @@ def build_fused_hidden(network, params: Dict[str, Any], tile: int = 512, interpr
     return fn
 
 
+def _kernel_fwd_bwd(plan, n_weights, x_ref, *refs):
+    """Forward chain + input-gradient backward in one VMEM-resident pass.
+
+    refs = (*weights, wlast_col, h_out, dx_out, z_scratch). The backward
+    seeds from the final linear's sdf column (d sdf / d last_hidden =
+    w_last[:, 0]) and back-propagates through the stored pre-activations:
+    g_z = g_h * sigmoid(100 z) (the exact VJP of softplus(100x)/100), then
+    g_h = g_z @ W^T — with the skip layer routing its input-embedding part
+    into a separate accumulator. No parameter gradients are computed: the
+    kernel is for value-only contexts (frozen geometry / eval shading).
+    """
+    w_refs = refs[:n_weights]
+    wlast_ref = refs[n_weights]
+    h_out_ref = refs[n_weights + 1]
+    dx_out_ref = refs[n_weights + 2]
+    z_scr = refs[n_weights + 3]
+
+    x = x_ref[:]
+    tile_m = x.shape[0]
+
+    # ---- forward, storing pre-activations --------------------------------
+    h = x
+    wi = 0
+    w_index = []  # per-layer starting weight index, for the backward
+    for li, (kind, *dims) in enumerate(plan):
+        w_index.append(wi)
+        if kind == "dense":
+            in_pad, out_pad = dims
+            w = w_refs[wi][:]
+            b = w_refs[wi + 1][:]
+            wi += 2
+            z = jnp.dot(h[:, :in_pad], w, preferred_element_type=jnp.float32) + b
+        else:  # skip
+            h_pad, x_pad, out_pad = dims
+            wa = w_refs[wi][:]
+            wb = w_refs[wi + 1][:]
+            b = w_refs[wi + 2][:]
+            wi += 3
+            z = (
+                jnp.dot(h[:, :h_pad], wa, preferred_element_type=jnp.float32)
+                + jnp.dot(x[:, :x_pad], wb, preferred_element_type=jnp.float32)
+                + b
+            )
+        z_scr[li, :, : z.shape[-1]] = z
+        h = jax.nn.softplus(z * 100.0) * 0.01
+    h_out_ref[:] = h
+
+    # ---- backward (input gradient of the sdf column) ---------------------
+    g = jnp.broadcast_to(wlast_ref[:], (tile_m, wlast_ref.shape[-1]))
+    gx = jnp.zeros_like(x)
+    for li in range(len(plan) - 1, -1, -1):
+        kind, *dims = plan[li]
+        out_pad = dims[-1]
+        wi = w_index[li]
+        if g.shape[-1] < out_pad:
+            # the layer above consumed only h_pad (8-aligned) lanes of this
+            # layer's 128-aligned padded output; the extra lanes are padding
+            # whose gradient is zero
+            g = jnp.pad(g, ((0, 0), (0, out_pad - g.shape[-1])))
+        z = z_scr[li, :, :out_pad]
+        gz = g[:, :out_pad] * jax.nn.sigmoid(z * 100.0)
+        if kind == "dense":
+            in_pad = dims[0]
+            w = w_refs[wi][:]
+            g = jax.lax.dot_general(
+                gz, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            wa = w_refs[wi][:]
+            wb = w_refs[wi + 1][:]
+            g = jax.lax.dot_general(
+                gz, wa, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gx = gx + jax.lax.dot_general(
+                gz, wb, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    # after layer 0 the running gradient is w.r.t. the embedded input
+    dx_out_ref[:] = gx + g
+
+
+def _pe_backward(dx_emb: jnp.ndarray, pts: jnp.ndarray, multires: int) -> jnp.ndarray:
+    """VJP of the positional encoding: [N, d(1+2m)] cotangent -> [N, d]."""
+    d = pts.shape[-1]
+    dp = dx_emb[:, :d]
+    for k in range(multires):
+        f = float(2.0 ** k)
+        s = d + 2 * k * d
+        c = d + (2 * k + 1) * d
+        dp = dp + f * (
+            jnp.cos(pts * f) * dx_emb[:, s : s + d]
+            - jnp.sin(pts * f) * dx_emb[:, c : c + d]
+        )
+    return dp
+
+
+def build_fused_sdf_feature_grad(network, params: Dict[str, Any], tile: int = 256,
+                                 interpret: bool = False):
+    """fn(pts [N,3]) -> (sdf [N], feature [N,F], grad [N,3]), value-only.
+
+    Fuses the shading path's `ImplicitNetwork.sdf_feature_grad` — one forward
+    plus one input-space backward through the whole MLP — into a single
+    Pallas launch with weights AND the per-tile pre-activations resident in
+    VMEM (the XLA autodiff path round-trips every layer's activations through
+    HBM twice: saved in the forward, re-read in the transpose). Legal only
+    where all three outputs are values, i.e. frozen geometry (the shipped
+    Step-2 workflow; reference robot/run_s2.sh:21 --freeze_geometry) or eval
+    rendering — parameter gradients are NOT produced, so callers must pass
+    stop-gradiented params/points (enforced with stop_gradient inside).
+
+    VMEM: ~7.5 MB weights + plan_len * tile * width * 4 B pre-activations
+    (4 MB at tile=256 for the 8x512 NeFII net) — fits the ~16 MB/core budget.
+    """
+    assert network.d_out == 1, "sdf gradient kernel assumes a single sdf output"
+    plan, weights = prepare_weights(network, params)
+    dims, embed_fn = network._layer_dims()
+    x_pad = _round_up(dims[0], 8)
+    out_width = plan[-1][-1]
+    real_width = dims[-2]
+    max_out = max(p[-1] for p in plan)
+    L = len(plan)
+    n_w = len(weights)
+
+    last = params["layers"][-1]
+    w_last = effective_weight(last).T  # [width, d_out(+F)]
+    b_last = last["b"]
+    wlast_col = jnp.pad(w_last[:, 0], (0, out_width - real_width)).reshape(1, -1)
+
+    kern = partial(_kernel_fwd_bwd, plan, n_w)
+    d_in = network.d_in
+
+    def fn(pts: jnp.ndarray):
+        pts = jax.lax.stop_gradient(pts)
+        N = pts.shape[0]
+        n_pad = _round_up(max(N, tile), tile)
+        x = embed_fn(pts) if network.multires > 0 else pts
+        emb_dim = x.shape[-1]
+        x = jnp.pad(x, ((0, n_pad - N), (0, x_pad - emb_dim)))
+
+        grid = (n_pad // tile,)
+        in_specs = (
+            [pl.BlockSpec((tile, x_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM)
+               for w in weights]
+            + [pl.BlockSpec((1, out_width), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        )
+        try:
+            vma = jax.typeof(x).vma
+            out_shape = (
+                jax.ShapeDtypeStruct((n_pad, out_width), jnp.float32, vma=vma),
+                jax.ShapeDtypeStruct((n_pad, x_pad), jnp.float32, vma=vma),
+            )
+        except (AttributeError, TypeError):
+            out_shape = (
+                jax.ShapeDtypeStruct((n_pad, out_width), jnp.float32),
+                jax.ShapeDtypeStruct((n_pad, x_pad), jnp.float32),
+            )
+        h, dx = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((tile, out_width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, x_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((L, tile, max_out), jnp.float32)],
+            interpret=interpret,
+        )(x, *weights, wlast_col)
+        h = h[:N, :real_width]
+        dx = dx[:N, :emb_dim]
+
+        fin = jax.lax.dot_general(
+            h, w_last, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_last
+        sdf = fin[:, 0]
+        feature = h if network.use_last_as_f else fin[:, 1:]
+        grad = _pe_backward(dx, pts, network.multires) if network.multires > 0 else dx[:, :d_in]
+        return sdf, feature, grad
+
+    return fn
+
+
 def build_fused_sdf(network, params: Dict[str, Any], tile: int = 512, interpret: bool = False,
                     dtype=jnp.float32, embed_in_kernel: bool = False):
     """fn(pts [N,3]) -> sdf [N] — fused hidden chain + final linear in jnp."""

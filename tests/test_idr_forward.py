@@ -153,9 +153,12 @@ def test_forward_training_freeze_geo():
         return out["sg_rgb_values"].mean()
 
     grads = jax.grad(loss_fn)(params)
-    # with frozen geometry the implicit net only gets gradient through the
-    # feature vector path (loss->material MLP->features). The light must.
+    # frozen geometry == the reference's requires_grad_(False): implicit
+    # gradients are exactly zero (the backward through the SDF net is pruned
+    # at trace time), while the light still learns
     assert float(jnp.abs(grads["envmap_material_network"]["lgtSGs"]).sum()) > 0
+    imp_flat, _ = jax.tree_util.tree_flatten(grads["implicit_network"])
+    assert all(float(jnp.abs(g).sum()) == 0.0 for g in imp_flat)
 
 
 def test_forward_multiray_mean():

@@ -11,7 +11,11 @@ import pytest
 from nefii_tpu.config import parse_string
 from nefii_tpu.models.idr import IDRNetwork
 from nefii_tpu.models.implicit import ImplicitNetwork
-from nefii_tpu.ops.pallas.fused_mlp import build_fused_hidden, build_fused_sdf
+from nefii_tpu.ops.pallas.fused_mlp import (
+    build_fused_hidden,
+    build_fused_sdf,
+    build_fused_sdf_feature_grad,
+)
 
 from test_idr_forward import SMALL_CONF, _inputs
 
@@ -52,6 +56,92 @@ def test_fused_kernel_narrow_net():
     ref = net.sdf(params, pts)
     fused = build_fused_sdf(net, params, tile=128, interpret=True)(pts)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(feature_vector_size=512, dims=(512,) * 8, skip_in=(4,), multires=6,
+             use_last_as_f=True, bias=0.6),
+        dict(feature_vector_size=256, dims=(256,) * 4, skip_in=(2,), multires=4,
+             use_last_as_f=False, bias=0.5),
+        dict(feature_vector_size=64, dims=(64,) * 3, skip_in=(1,), multires=0,
+             use_last_as_f=True, bias=0.5),
+    ],
+    ids=["flagship-8x512", "narrow-no-lastf", "tiny-no-pe"],
+)
+def test_fused_sdf_feature_grad_matches_jnp(cfg):
+    """The fused forward+input-gradient kernel must reproduce the jnp
+    sdf_feature_grad (sdf, feature, spatial grad) — incl. the skip layer's
+    split backward and the positional-encoding VJP."""
+    net = ImplicitNetwork(d_in=3, d_out=1, geometric_init=True, weight_norm=True, **cfg)
+    params = net.init_params(jax.random.PRNGKey(0))
+    pts = jax.random.normal(jax.random.PRNGKey(1), (700, 3)) * 0.5
+
+    sdf_r, feat_r, grad_r = net.sdf_feature_grad(params, pts)
+    sdf_f, feat_f, grad_f = build_fused_sdf_feature_grad(
+        net, params, tile=128, interpret=True
+    )(pts)
+    np.testing.assert_allclose(np.asarray(sdf_f), np.asarray(sdf_r), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(feat_f), np.asarray(feat_r), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(grad_f), np.asarray(grad_r), atol=1e-5)
+
+
+def test_freeze_geo_grads_match_constant_implicit():
+    """freeze_geo prunes the implicit backward; the surviving rendering/
+    material gradients must be EXACTLY what differentiating with the implicit
+    params held constant gives (i.e. the pruning is a pure optimisation)."""
+    conf = parse_string(SMALL_CONF).get_config("model")
+    model = IDRNetwork.from_conf(conf)
+    params = model.init_params(jax.random.PRNGKey(0))
+    inputs = _inputs(S=16)
+    key = jax.random.PRNGKey(1)
+
+    def loss_from(out):
+        return out["sg_rgb_values"].mean() + out["idr_rgb_values"].mean()
+
+    def loss_full(p):
+        return loss_from(model.forward(p, inputs, key, training=True, freeze_geo=True))
+
+    grads = jax.grad(loss_full)(params)
+    imp_flat, _ = jax.tree_util.tree_flatten(grads["implicit_network"])
+    assert all(float(jnp.abs(g).sum()) == 0.0 for g in imp_flat)
+
+    def loss_rm(p_rm):
+        p = {"implicit_network": params["implicit_network"], **p_rm}
+        return loss_from(model.forward(p, inputs, key, training=True, freeze_geo=True))
+
+    grads_rm = jax.grad(loss_rm)(
+        {k: params[k] for k in ("rendering_network", "envmap_material_network")}
+    )
+    for k in ("rendering_network", "envmap_material_network"):
+        ga, _ = jax.tree_util.tree_flatten(grads[k])
+        gb, _ = jax.tree_util.tree_flatten(grads_rm[k])
+        for a, b in zip(ga, gb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_forward_with_point_implicit_grads_zero():
+    """The secondary distillation step force-freezes geometry (reference
+    idr_train.py:515-518): implicit gradients through forward_with_point must
+    be exactly zero."""
+    conf = parse_string(SMALL_CONF).get_config("model")
+    model = IDRNetwork.from_conf(conf)
+    params = model.init_params(jax.random.PRNGKey(0))
+    pts = jax.random.normal(jax.random.PRNGKey(2), (8, 4, 3)) * 0.4
+    dirs = jax.random.normal(jax.random.PRNGKey(3), (8, 4, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    batch = {"points": pts, "ray_dirs": dirs}
+
+    def loss_fn(p):
+        out = model.forward(p, batch, jax.random.PRNGKey(4), with_point=True)
+        return jnp.abs(out["sg_rgb_values"] - out["idr_rgb_values"]).mean()
+
+    grads = jax.grad(loss_fn)(params)
+    imp_flat, _ = jax.tree_util.tree_flatten(grads["implicit_network"])
+    assert all(float(jnp.abs(g).sum()) == 0.0 for g in imp_flat)
+    # material still learns
+    assert float(jnp.abs(grads["envmap_material_network"]["lgtSGs"]).sum()) > 0
 
 
 def test_secondary_tracer_override():
