@@ -136,7 +136,10 @@ def bench_train_step() -> float:
         sdf_chunk=2_097_152,
     )
     # shipped-conf secondary tracer (confs/conf.conf secondary_ray_tracer)
-    sec = dc.replace(tracer, n_steps=50, n_rootfind_steps=8, sampler_budget=8192)
+    sec = dc.replace(
+        tracer, n_steps=50, n_rootfind_steps=16, sampler_budget=8192,
+        sphere_tracing_iters=5, line_step_iters=0,
+    )
     model = dc.replace(model, ray_tracer=tracer, secondary_ray_tracer=sec)
     params = model.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(1)

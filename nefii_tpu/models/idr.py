@@ -100,7 +100,10 @@ class IDRNetwork:
     #  - use_fused_sdf: Pallas VMEM-resident MLP for the (no-grad) tracer path
     #  - shade_fraction: compact surviving rays to a static budget before
     #    shading (the reference gathers points[surface_mask] dynamically,
-    #    :359; this is its fixed-shape analogue — 1.0 = shade all rays)
+    #    :359; this is its fixed-shape analogue — 1.0 = shade all rays).
+    #    Works on every path incl. multi-ray training: dropped rays scatter
+    #    default (miss) values back before the per-pixel mean, so results
+    #    are unchanged while the budget covers the hit count
     use_fused_sdf: bool = False
     fused_sdf_dtype: str = "float32"   # "bfloat16" = reference's fp16-autocast analogue
     #  - use_fused_trace: run the WHOLE bidirectional sphere-trace loop as one
@@ -411,9 +414,14 @@ class IDRNetwork:
         # reference's dynamic points[surface_mask] gather (:359). Overflow
         # hits beyond the budget fall back to default outputs.
         budget = N
-        # (compaction at ray granularity would break the per-pixel mean of
-        # the non-fast multi-ray path, so it's limited to the other modes)
-        if self.shade_fraction < 1.0 and (not multi_ray or self.fast_multi_ray):
+        # Ray-granularity compaction works for the non-fast multi-ray path
+        # too: dropped rays scatter back their default (miss) values BEFORE
+        # the per-pixel mean, exactly like genuine miss rays, and hits are
+        # selected first — so results are unchanged whenever the budget
+        # covers the hit count (the reference shades only points
+        # [surface_mask], :359; overflow hits beyond the budget degrade to
+        # defaults, the same accounting as the sampler/min-SDF budgets).
+        if self.shade_fraction < 1.0:
             budget = min(max(int(N * self.shade_fraction + 0.5), 128), N)
         compact = budget < N
         if compact:
