@@ -88,3 +88,28 @@ def test_parse_all_reference_confs():
     for path in glob.glob("/root/reference/code/confs_sg/*.conf"):
         conf = ConfigFactory.parse_file(path)
         assert conf.get_config("model") is not None
+
+
+def test_shipped_confs_build_models_with_perf_knobs():
+    """The shipped confs must construct IDRNetwork with the TPU perf knobs
+    wired: fused SDF kernel on, and the A/B-validated reduced secondary
+    tracer (trace iters 5, line search off) inheriting un-overridden fields
+    from the primary tracer."""
+    import glob
+
+    from nefii_tpu.models.idr import IDRNetwork
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in (os.path.join(repo, "confs", "conf.conf"),
+                 os.path.join(repo, "confs", "conf_neus.conf")):
+        conf = ConfigFactory.parse_file(path)
+        model = IDRNetwork.from_conf(conf.get_config("model"))
+        assert model.use_fused_sdf
+        sec = model.secondary_ray_tracer
+        assert sec is not None
+        assert sec.sphere_tracing_iters == 5
+        assert sec.line_step_iters == 0
+        assert sec.n_steps == 50
+        # inherited from the primary tracer block
+        assert sec.sdf_chunk == model.ray_tracer.sdf_chunk
+        assert sec.sdf_threshold == model.ray_tracer.sdf_threshold
