@@ -100,7 +100,7 @@ def prepare_weights(network, params: Dict[str, Any]):
             plan.append(("skip", h_pad, x_pad, out_pad))
             weights += [wa, wb, bp.reshape(1, -1)]
         else:
-            in_pad = _round_up(in_dim, 8) if l == 0 else _round_up(in_dim, 8)
+            in_pad = _round_up(in_dim, 8)
             wp = _pad_to(w, in_pad, out_pad)
             bp = jnp.pad(b, (0, out_pad - out_dim))
             plan.append(("dense", in_pad, out_pad))
