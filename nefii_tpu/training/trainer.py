@@ -51,6 +51,21 @@ def _multistep_schedule(lr: float, milestones, factor: float):
     )
 
 
+def _restore_implicit_subtree(new_tree, old_tree):
+    """Select `old_tree`'s leaves wherever the pytree path passes through an
+    'implicit_network' dict key (works on params and on optimizer states,
+    whose adam moments mirror the params structure)."""
+    dict_key = jax.tree_util.DictKey
+
+    def pick(path, n, o):
+        for p in path:
+            if isinstance(p, dict_key) and p.key == "implicit_network":
+                return o
+        return n
+
+    return jax.tree_util.tree_map_with_path(pick, new_tree, old_tree)
+
+
 class IDRTrainRunner:
     def __init__(self, **kwargs):
         conf = kwargs["conf"]
@@ -351,11 +366,19 @@ class IDRTrainRunner:
 
         def step(params, idr_state, sg_state, batch, valid, key):
             l, grads = point_grad(params, batch, valid, key)
-            idr_updates, idr_state = self.idr_tx.update(grads, idr_state, params)
-            params = optax.apply_updates(params, idr_updates)
-            sg_updates, sg_state = self.sg_tx.update(grads, sg_state, params)
-            params = optax.apply_updates(params, sg_updates)
-            return params, idr_state, sg_state, l
+            idr_updates, new_idr_state = self.idr_tx.update(grads, idr_state, params)
+            new_params = optax.apply_updates(params, idr_updates)
+            sg_updates, sg_state = self.sg_tx.update(grads, sg_state, new_params)
+            new_params = optax.apply_updates(new_params, sg_updates)
+            # reference parity: train_with_secondary force-freezes geometry
+            # (idr_train.py:515-518) and torch Adam SKIPS None-grad params —
+            # the implicit net's params and adam moments must leave the
+            # secondary step untouched (a shared optax adam would otherwise
+            # decay its moments and apply a stale-momentum update on the
+            # exactly-zero gradients)
+            new_params = _restore_implicit_subtree(new_params, params)
+            new_idr_state = _restore_implicit_subtree(new_idr_state, idr_state)
+            return new_params, new_idr_state, sg_state, l
 
         step = jax.jit(step, donate_argnums=(0, 1, 2))
         self._step_cache[kind] = step
