@@ -334,11 +334,20 @@ class IDRTrainRunner:
                 params = optax.apply_updates(params, idr_updates)
                 sg_updates, sg_state = self.sg_tx.update(grads, sg_state, params)
                 params = optax.apply_updates(params, sg_updates)
-                cam_updates, cam_state = self.cam_tx.update(cam_grads, cam_state, pose_vecs)
-                # SparseAdam semantics: only rows with gradient move
+                cam_updates, new_cam_state = self.cam_tx.update(
+                    cam_grads, cam_state, pose_vecs
+                )
+                # SparseAdam semantics: rows without gradient are skipped
+                # ENTIRELY — params and adam moments both stay (torch's
+                # SparseAdam only materialises state for touched rows)
                 touched = (jnp.abs(cam_grads).sum(-1, keepdims=True) > 0)
                 pose_vecs = jnp.where(
                     touched, optax.apply_updates(pose_vecs, cam_updates), pose_vecs
+                )
+                cam_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(touched, new, old)
+                    if getattr(new, "shape", ()) == pose_vecs.shape else new,
+                    new_cam_state, cam_state,
                 )
                 return params, pose_vecs, cam_state, idr_state, sg_state, ld, secondary
 

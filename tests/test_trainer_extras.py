@@ -35,6 +35,35 @@ def test_train_cameras_updates_poses(scene_dir, tmp_path):
     qn = np.linalg.norm(after[:, :4], axis=1)
     np.testing.assert_allclose(qn, 1.0, atol=0.05)
 
+    # SparseAdam semantics: a single step touches only the batch image's
+    # row — other rows' params AND adam moments must be bit-identical
+    # (torch SparseAdam materialises state only for touched rows)
+    import jax
+    import jax.numpy as jnp
+
+    runner._sample_pixels(0)
+    indices, model_input, ground_truth = runner.train_dataset.collate(
+        [runner.train_dataset[1]]
+    )
+    batch, gt = runner._device_batch(model_input, ground_truth, indices)
+    step = runner._get_step(False, False, batch, gt)
+    p0 = np.asarray(runner.pose_vecs).copy()
+    s0 = jax.tree_util.tree_map(np.asarray, runner.cam_opt_state)
+    (params, pose_vecs, cam_state, *_rest) = step(
+        runner.params, runner.pose_vecs, runner.cam_opt_state,
+        runner.idr_opt_state, runner.sg_opt_state, batch, gt,
+        jax.random.PRNGKey(11), jnp.float32(50.0),
+    )
+    p1 = np.asarray(pose_vecs)
+    s1 = jax.tree_util.tree_map(np.asarray, cam_state)
+    untouched = [i for i in range(p0.shape[0]) if i != int(indices[0])]
+    assert untouched
+    np.testing.assert_array_equal(p0[untouched], p1[untouched])
+    assert not np.array_equal(p0[int(indices[0])], p1[int(indices[0])])
+    for a, b in zip(jax.tree_util.tree_leaves(s0), jax.tree_util.tree_leaves(s1)):
+        if getattr(a, "shape", ()) == p0.shape:
+            np.testing.assert_array_equal(a[untouched], b[untouched])
+
 
 def test_view_diff_training_runs(scene_dir, tmp_path):
     conf = parse_string(TRAIN_CONF)
