@@ -284,7 +284,10 @@ class IDRNetwork:
                 training=training,
                 sphere_trace_fn=sec_trace_fn,
             )
-            return res.points, res.object_mask, res.dists, res.n_evals
+            return (
+                res.points, res.object_mask, res.dists, res.n_evals,
+                res.sampler_overflow + res.minsdf_overflow,
+            )
 
         return ptr.SceneFns(
             trace=trace,
@@ -311,7 +314,7 @@ class IDRNetwork:
     ) -> Dict[str, Optional[jnp.ndarray]]:
         if with_point:
             return self.forward_with_point(
-                params, inputs, key,
+                params, inputs, key, freeze_geo=freeze_geo,
                 fake_roughness=fake_roughness, fake_specular=fake_specular,
             )
         return self.forward_with_uv(
@@ -424,11 +427,17 @@ class IDRNetwork:
         if self.shade_fraction < 1.0:
             budget = min(max(int(N * self.shade_fraction + 0.5), 128), N)
         compact = budget < N
+        shade_overflow = jnp.int32(0)
         if compact:
             order = jnp.argsort(~surface_mask, stable=True)
             sel = order[:budget]
             shade_pts = differentiable_points[sel]
             shade_view = view_dirs[sel]
+            # hit rays beyond the budget degrade to defaults — count them so
+            # the trainer can warn (results are exact iff this stays 0)
+            shade_overflow = jnp.maximum(
+                surface_mask.sum().astype(jnp.int32) - budget, 0
+            )
         else:
             sel = None
             shade_pts, shade_view = differentiable_points, view_dirs
@@ -523,6 +532,12 @@ class IDRNetwork:
             # SDF point-samples actually executed (primary trace + secondary
             # traces + visibility queries) — the bench's ray-samples metric
             "n_sdf_evals": trace_res.n_evals + ret.get("n_sdf_evals", 0),
+            # budget-overflow counters: rays a compaction budget silently
+            # degraded to defaults. All zero <=> the budgets were exact.
+            "sampler_overflow": trace_res.sampler_overflow,
+            "minsdf_overflow": trace_res.minsdf_overflow,
+            "shade_overflow": shade_overflow,
+            "secondary_overflow": ret.get("n_overflow", jnp.int32(0)),
         }
 
         if multi_ray and not self.fast_multi_ray:
@@ -542,13 +557,24 @@ class IDRNetwork:
 
     # ------------------------------------------------------------------
     def forward_with_point(
-        self, params, inputs, key, *, fake_roughness=False, fake_specular=False
+        self, params, inputs, key, *, freeze_geo=False,
+        fake_roughness=False, fake_specular=False,
     ):
-        """Secondary self-distillation forward (reference :503-527)."""
-        # the reference force-freezes geometry for the whole secondary
-        # distillation step (idr_train.py:515-518 via :804-852) — implicit
-        # gradients must be exactly zero here
-        params = dict(params, implicit_network=stop_grad(params["implicit_network"]))
+        """Secondary self-distillation forward (reference
+        implicit_differentiable_renderer.py:503-527).
+
+        The reference temporarily sets state_freeze_geo=True for this step
+        (:514-518), which detaches ONLY the normals gradient
+        (gradient(points, detach=True), :533-540). feature_vectors =
+        implicit_network(points)[:,1:] stays attached, so in
+        unfrozen-geometry runs the idr optimizer trains the implicit net
+        through the feature path during secondary steps. Implicit params
+        are cut entirely only when the run-level freeze_geometry flag is
+        set (requires_grad=False in the reference, :264-268)."""
+        if freeze_geo:
+            params = dict(
+                params, implicit_network=stop_grad(params["implicit_network"])
+            )
 
         points = inputs["points"]      # [N,R,3]
         ray_dirs = inputs["ray_dirs"]  # [N,R,3]
@@ -558,8 +584,9 @@ class IDRNetwork:
 
         ret = self.get_rbg_value(
             params, points, -ray_dirs, key,
-            training=False, freeze_geo=True,
+            training=True, freeze_geo=freeze_geo, detach_normals=True,
             fake_roughness=fake_roughness, fake_specular=fake_specular,
+            wi_override=inputs.get("wi_override"),
         )
         return {
             "idr_rgb_values": self.mean_pixel(ret["idr_rgb"], N, R),
@@ -569,13 +596,20 @@ class IDRNetwork:
     # ------------------------------------------------------------------
     def get_rbg_value(
         self, params, points, view_dirs, key, multi_ray_R=None,
-        *, training=False, freeze_geo=False, fake_roughness=False,
-        fake_specular=False,
+        *, training=False, freeze_geo=False, detach_normals=None,
+        fake_roughness=False, fake_specular=False, wi_override=None,
     ):
-        """Shading dispatch (reference :529-599). points/view_dirs [N,3]."""
+        """Shading dispatch (reference :529-599). points/view_dirs [N,3].
+
+        `detach_normals` mirrors the reference's gradient detach flag
+        (`gradient(points, self.state_freeze_geo or not self.training)`,
+        :537): it cuts only the normals path, while the feature path's
+        attachment is governed by `freeze_geo`/`training` (value_only)."""
         imp = self.implicit_network
         p_imp = params["implicit_network"]
         value_only = freeze_geo or not training
+        if detach_normals is None:
+            detach_normals = value_only
 
         # one fused forward+backward gives features AND normals (vs the
         # reference's two forwards + double-backprop, :533-540); in
@@ -583,7 +617,7 @@ class IDRNetwork:
         _, feature_vectors, g = self._sfg_closure(p_imp, value_only)(points)
         if self.feature_vector_size == 0:
             feature_vectors = None
-        if freeze_geo or not training:
+        if detach_normals:
             g = stop_grad(g)
         normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-6)
         view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
@@ -648,6 +682,7 @@ class IDRNetwork:
                 view_dirs, points, scene,
                 blending_weights=mat["sg_blending_weights"],
                 training=training, remat_strategies=self.remat_strategies,
+                wi_override=wi_override,
                 **opts,
             )
 

@@ -185,6 +185,7 @@ def pt_render_core(
     speed_first: bool = True,
     training: bool = False,
     remat_strategies: bool = False,  # jax.checkpoint each strategy's block
+    wi_override: Optional[Tuple[jnp.ndarray, ...]] = None,
 ) -> Dict[str, jnp.ndarray]:
     N = normal.shape[0]
     S = len(strategies)
@@ -225,7 +226,16 @@ def pt_render_core(
     wi_list: List[jnp.ndarray] = []
     pdf_list: List[jnp.ndarray] = []
     for i, name in enumerate(strategies):
-        if name == "cos":
+        if wi_override is not None:
+            # test hook: inject fixed per-strategy sample directions so the
+            # full estimator (pdf matrix -> batched trace -> visibility/
+            # indirect -> MIS combine) can be compared head-to-head against
+            # the torch reference on identical samples. The pdf comes from
+            # the strategy's canonical pdf function — exactly what the
+            # sampler would have returned for these directions.
+            wi = jnp.asarray(wi_override[i])
+            pdf = pdf_fn_for(name)(wi, normal_s, viewdirs_s, rough_s, lgt_s)
+        elif name == "cos":
             wi, pdf = sampling.cos_sampling(keys[i], normal_s)
         elif name == "brdf":
             wi, pdf = sampling.brdf_sampling(keys[i], normal_s, rough_s, viewdirs_s)
@@ -265,7 +275,8 @@ def pt_render_core(
             res = scene.trace(pts_flat, wi, k, trace_training)
             lp, hm, ds = res[0], res[1], res[2]
             ne = res[3] if len(res) > 3 else jnp.int32(0)
-            return stop_grad(lp), hm, stop_grad(ds), ne
+            ov = res[4] if len(res) > 4 else jnp.int32(0)
+            return stop_grad(lp), hm, stop_grad(ds), ne, ov
 
         trace_keys = jax.random.split(keys[S], S)
         if speed_first:
@@ -274,6 +285,7 @@ def pt_render_core(
             res = scene.trace(all_pts, all_dirs, trace_keys[0], trace_training)
             lp, hm, ds = res[0], res[1], res[2]
             n_trace_evals = res[3] if len(res) > 3 else jnp.int32(0)
+            n_trace_overflow = res[4] if len(res) > 4 else jnp.int32(0)
             lp, ds = stop_grad(lp), stop_grad(ds)
             for i in range(S):
                 hit_list.append(
@@ -284,6 +296,7 @@ def pt_render_core(
                 trace_one, (jnp.stack(wi_list), trace_keys)
             )
             n_trace_evals = stacked[3].sum()
+            n_trace_overflow = stacked[4].sum()
             for i in range(S):
                 hit_list.append((stacked[0][i], stacked[1][i][:, None], stacked[2][i][:, None]))
 
@@ -387,6 +400,8 @@ def pt_render_core(
         # secondary SDF point-samples: trace + one visibility eval per ray
         vis_evals = S * N if shadow in ("soft", "indirect") else 0
         ret["n_sdf_evals"] = n_trace_evals + jnp.int32(vis_evals)
+        # secondary rays the tracer's budgeted fallbacks dropped (exact iff 0)
+        ret["n_overflow"] = n_trace_overflow
     return ret
 
 

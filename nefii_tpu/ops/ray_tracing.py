@@ -57,6 +57,11 @@ class TraceResult(NamedTuple):
     object_mask: jnp.ndarray   # [N] bool — network thinks the ray hit
     dists: jnp.ndarray         # [N] distance along the ray
     n_evals: Any = 0  # SDF point-evaluations actually executed (traced i32)
+    # rays that NEEDED a budgeted fallback path but were dropped by the
+    # compaction (traced i32). Nonzero counts mean the budget silently
+    # degraded those rays to defaults — results are exact iff both are 0.
+    sampler_overflow: Any = 0
+    minsdf_overflow: Any = 0
 
 
 @dataclass(frozen=True)
@@ -113,7 +118,8 @@ class RayTracer:
         sampler_mask = unfinished_start
 
         # fallback sampler for rays the tracer did not converge on
-        sampler_pts, sampler_obj, sampler_dists, sampler_evals = self._ray_sampler(
+        (sampler_pts, sampler_obj, sampler_dists, sampler_evals,
+         sampler_overflow) = self._ray_sampler(
             sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
         )
         n_evals = n_evals + sampler_evals
@@ -123,7 +129,9 @@ class RayTracer:
         points = cam + dists[:, None] * dirs
 
         if not training:
-            return TraceResult(points, network_object_mask, dists, n_evals)
+            return TraceResult(
+                points, network_object_mask, dists, n_evals, sampler_overflow
+            )
 
         # ---- training extras: min-SDF points for the mask loss -------------
         in_mask = (~network_object_mask) & object_mask & (~sampler_mask)
@@ -140,14 +148,17 @@ class RayTracer:
         min_dis = jnp.where(network_object_mask & out_mask, acc_start, min_dis)
         if key is None:
             key = jax.random.PRNGKey(0)
-        min_pts_dist, minsdf_evals = self._minimal_sdf_points(
+        min_pts_dist, minsdf_evals, minsdf_overflow = self._minimal_sdf_points(
             sdf_fn, cam, dirs, min_dis, max_dis, mask, key
         )
         n_evals = n_evals + minsdf_evals
         dists = jnp.where(mask, min_pts_dist, dists)
 
         points = cam + dists[:, None] * dirs
-        return TraceResult(points, network_object_mask, dists, n_evals)
+        return TraceResult(
+            points, network_object_mask, dists, n_evals,
+            sampler_overflow, minsdf_overflow,
+        )
 
     # ------------------------------------------------------------------
     def _sphere_trace(self, sdf_fn, cam, dirs, mask_intersect, near, far):
@@ -240,11 +251,14 @@ class RayTracer:
         if budget is None or budget >= N:
             return self._ray_sampler_dense(
                 sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
-            )
+            ) + (jnp.int32(0),)
 
         # compact: stable argsort with unfinished rays first
         order = jnp.argsort(~sampler_mask, stable=True)
         sel = order[:budget]
+        overflow = jnp.maximum(
+            sampler_mask.sum().astype(jnp.int32) - budget, 0
+        )
         pts, obj, dist, n_ev = self._ray_sampler_dense(
             sdf_fn,
             cam[sel],
@@ -262,7 +276,7 @@ class RayTracer:
         full_pts = full_pts.at[sel].set(pts)
         full_obj = full_obj.at[sel].set(obj)
         full_dist = full_dist.at[sel].set(dist)
-        return full_pts, full_obj, full_dist, n_ev
+        return full_pts, full_obj, full_dist, n_ev, overflow
 
     def _ray_sampler_dense(
         self, sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
@@ -387,10 +401,11 @@ class RayTracer:
             return jnp.take_along_axis(steps, mi[:, None], axis=1)[:, 0]
 
         if budget is None or budget >= N:
-            return dense(cam, dirs, min_dis, max_dis), jnp.int32(N * n)
+            return dense(cam, dirs, min_dis, max_dis), jnp.int32(N * n), jnp.int32(0)
 
         order = jnp.argsort(~mask, stable=True)
         sel = order[:budget]
+        overflow = jnp.maximum(mask.sum().astype(jnp.int32) - budget, 0)
         d = dense(cam[sel], dirs[sel], min_dis[sel], max_dis[sel])
         out = min_dis  # fallback for overflow rays
-        return out.at[sel].set(d), jnp.int32(budget * n)
+        return out.at[sel].set(d), jnp.int32(budget * n), overflow

@@ -116,6 +116,15 @@ def make_grad_fn(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, pose_vecs)
         secondary = {k: out[k] for k in secondary_keys if out.get(k) is not None}
+        # budget-overflow counters (global sums): rays a compaction budget
+        # silently degraded to defaults this step — the trainer warns when
+        # any are nonzero (the budgets' exactness claim must be observable)
+        ld = dict(ld)
+        for k in ("sampler_overflow", "minsdf_overflow", "shade_overflow",
+                  "secondary_overflow"):
+            v = out.get(k)
+            if v is not None:
+                ld[k] = jax.lax.psum(jnp.asarray(v, jnp.int32), axis_name)
         return ld, grads, cam_grads, secondary
 
     def build(sample_batch, sample_gt):
@@ -188,19 +197,23 @@ def make_point_grad_fn(
     mesh: Mesh,
     *,
     axis_name: str = RAY_AXIS,
+    freeze_geo: bool = False,
     fake_roughness: bool = False,
     fake_specular: bool = False,
 ):
     """Shard-mapped secondary self-distillation gradient:
-    L1(sg_rgb, stop_grad(idr_rgb)) over valid secondary points
-    (reference idr_train.py:804-852)."""
+    L1(sg_rgb, idr_rgb) over valid secondary points (reference
+    idr_train.py:804-852 — neither side is detached there, so gradients
+    flow into BOTH the SG/material path and the idr radiance cache, and,
+    when geometry is unfrozen at the run level, into the implicit net
+    through the feature path; see IDRNetwork.forward_with_point)."""
 
     def local_fn(params, batch, valid, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
         def loss_fn(p):
             out = model.forward(
-                p, batch, key, with_point=True,
+                p, batch, key, with_point=True, freeze_geo=freeze_geo,
                 fake_roughness=fake_roughness, fake_specular=fake_specular,
             )
             diff = jnp.abs(out["sg_rgb_values"] - out["idr_rgb_values"])

@@ -51,19 +51,26 @@ def _multistep_schedule(lr: float, milestones, factor: float):
     )
 
 
-def _restore_implicit_subtree(new_tree, old_tree):
-    """Select `old_tree`'s leaves wherever the pytree path passes through an
-    'implicit_network' dict key (works on params and on optimizer states,
-    whose adam moments mirror the params structure)."""
-    dict_key = jax.tree_util.DictKey
+def _mask_adam_rows(new_state, old_state, touched):
+    """Row-mask the camera adam's first/second moments, selecting the mu/nu
+    leaves by pytree PATH (a leaf that merely shares pose_vecs' shape — e.g.
+    from a chained transform — is left alone).
 
-    def pick(path, n, o):
-        for p in path:
-            if isinstance(p, dict_key) and p.key == "implicit_network":
-                return o
-        return n
+    Torch SparseAdam updates moments for every row present in the sparse
+    gradient's indices; `touched` approximates that set as rows with a
+    nonzero gradient. The trainer only produces gradients for rows in the
+    current batch, and a batch row's pose gradient is never exactly zero in
+    practice, so the approximation only differs on degenerate all-masked
+    rows."""
+    attr_key = jax.tree_util.GetAttrKey
 
-    return jax.tree_util.tree_map_with_path(pick, new_tree, old_tree)
+    def pick(path, new, old):
+        names = {p.name for p in path if isinstance(p, attr_key)}
+        if names & {"mu", "nu"}:
+            return jnp.where(touched, new, old)
+        return new
+
+    return jax.tree_util.tree_map_with_path(pick, new_state, old_state)
 
 
 class IDRTrainRunner:
@@ -344,11 +351,7 @@ class IDRTrainRunner:
                 pose_vecs = jnp.where(
                     touched, optax.apply_updates(pose_vecs, cam_updates), pose_vecs
                 )
-                cam_state = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(touched, new, old)
-                    if getattr(new, "shape", ()) == pose_vecs.shape else new,
-                    new_cam_state, cam_state,
-                )
+                cam_state = _mask_adam_rows(new_cam_state, cam_state, touched)
                 return params, pose_vecs, cam_state, idr_state, sg_state, ld, secondary
 
             step = jax.jit(step, donate_argnums=(0, 1, 2, 3, 4))
@@ -370,24 +373,25 @@ class IDRTrainRunner:
         if kind in self._step_cache:
             return self._step_cache[kind]
         point_grad = spmd.make_point_grad_fn(
-            self.model, self.mesh, fake_roughness=fake_r, fake_specular=fake_s
+            self.model, self.mesh,
+            freeze_geo=self.freeze_geometry or self.freeze_idr,
+            fake_roughness=fake_r, fake_specular=fake_s,
         )()
 
         def step(params, idr_state, sg_state, batch, valid, key):
+            # Reference parity (implicit_differentiable_renderer.py:514-518):
+            # the secondary step detaches only the NORMALS gradient; the
+            # feature path stays attached, so with unfrozen geometry the idr
+            # optimizer genuinely steps the implicit net here. When the
+            # run-level freeze flags are set, forward_with_point cuts the
+            # implicit params and the optax masks zero their updates — the
+            # torch Adam skip-None-grads semantics by construction.
             l, grads = point_grad(params, batch, valid, key)
-            idr_updates, new_idr_state = self.idr_tx.update(grads, idr_state, params)
+            idr_updates, idr_state = self.idr_tx.update(grads, idr_state, params)
             new_params = optax.apply_updates(params, idr_updates)
             sg_updates, sg_state = self.sg_tx.update(grads, sg_state, new_params)
             new_params = optax.apply_updates(new_params, sg_updates)
-            # reference parity: train_with_secondary force-freezes geometry
-            # (idr_train.py:515-518) and torch Adam SKIPS None-grad params —
-            # the implicit net's params and adam moments must leave the
-            # secondary step untouched (a shared optax adam would otherwise
-            # decay its moments and apply a stale-momentum update on the
-            # exactly-zero gradients)
-            new_params = _restore_implicit_subtree(new_params, params)
-            new_idr_state = _restore_implicit_subtree(new_idr_state, idr_state)
-            return new_params, new_idr_state, sg_state, l
+            return new_params, idr_state, sg_state, l
 
         step = jax.jit(step, donate_argnums=(0, 1, 2))
         self._step_cache[kind] = step
@@ -560,6 +564,8 @@ class IDRTrainRunner:
                         self.save_checkpoints(epoch)
                         return
 
+                    self._check_overflow(loss_dict)
+
                     if self.cur_iter % self.log_freq == 0:
                         self.log_scalars(epoch, loss_dict, mse2psnr, float(alpha))
 
@@ -619,6 +625,30 @@ class IDRTrainRunner:
                   f"secondary_loss = {float(l):.6f}")
 
     # ------------------------------------------------------------------
+    _OVERFLOW_KEYS = (
+        "sampler_overflow", "minsdf_overflow", "shade_overflow",
+        "secondary_overflow",
+    )
+
+    def _check_overflow(self, loss_dict):
+        """Warn when a compaction budget dropped rays this step (the budgets'
+        'exact while under budget' guarantee must be observable, not assumed).
+        Prints the first few occurrences, then throttles to log_freq."""
+        counts = {
+            k: int(loss_dict[k]) for k in self._OVERFLOW_KEYS if k in loss_dict
+        }
+        if not any(counts.values()):
+            return
+        self._overflow_events = getattr(self, "_overflow_events", 0) + 1
+        if self._overflow_events <= 5 or self.cur_iter % self.log_freq == 0:
+            detail = ", ".join(f"{k}={v}" for k, v in counts.items() if v)
+            print(
+                f"[WARNING] compaction budget overflow at iter {self.cur_iter}: "
+                f"{detail} rays silently degraded to defaults — raise "
+                f"sampler_budget/minsdf_budget/shade_fraction (or the "
+                f"secondary_ray_tracer budgets) for exact results"
+            )
+
     def log_scalars(self, epoch, loss_dict, mse2psnr, alpha):
         if self._writer is None:
             from tensorboardX import SummaryWriter
@@ -627,7 +657,8 @@ class IDRTrainRunner:
         w = self._writer
         it = self.cur_iter
         for k, v in loss_dict.items():
-            w.add_scalar(f"loss/{k}", float(v), it)
+            group = "overflow" if k in self._OVERFLOW_KEYS else "loss"
+            w.add_scalar(f"{group}/{k}", float(v), it)
         w.add_scalar("train/alpha", alpha, it)
         idr_psnr = mse2psnr(float(loss_dict["idr_rgb_loss"]) ** 2)
         sg_psnr = mse2psnr(float(loss_dict["sg_rgb_loss"]) ** 2)

@@ -121,10 +121,12 @@ def test_freeze_geo_grads_match_constant_implicit():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_forward_with_point_implicit_grads_zero():
-    """The secondary distillation step force-freezes geometry (reference
-    idr_train.py:515-518): implicit gradients through forward_with_point must
-    be exactly zero."""
+def test_forward_with_point_grad_boundaries():
+    """Secondary-distillation gradient boundaries (reference
+    implicit_differentiable_renderer.py:514-518, :533-540): the step detaches
+    ONLY the normals gradient; the feature path stays attached, so implicit
+    grads are nonzero with unfrozen geometry and exactly zero only when the
+    run-level freeze_geo flag is set."""
     conf = parse_string(SMALL_CONF).get_config("model")
     model = IDRNetwork.from_conf(conf)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -133,15 +135,25 @@ def test_forward_with_point_implicit_grads_zero():
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     batch = {"points": pts, "ray_dirs": dirs}
 
-    def loss_fn(p):
-        out = model.forward(p, batch, jax.random.PRNGKey(4), with_point=True)
+    def loss_fn(p, freeze_geo):
+        out = model.forward(
+            p, batch, jax.random.PRNGKey(4), with_point=True,
+            freeze_geo=freeze_geo,
+        )
         return jnp.abs(out["sg_rgb_values"] - out["idr_rgb_values"]).mean()
 
-    grads = jax.grad(loss_fn)(params)
+    # run-level frozen geometry: torch requires_grad=False -> zero grads
+    grads = jax.grad(lambda p: loss_fn(p, True))(params)
     imp_flat, _ = jax.tree_util.tree_flatten(grads["implicit_network"])
     assert all(float(jnp.abs(g).sum()) == 0.0 for g in imp_flat)
     # material still learns
     assert float(jnp.abs(grads["envmap_material_network"]["lgtSGs"]).sum()) > 0
+
+    # unfrozen geometry: the feature path keeps the implicit net attached
+    grads_u = jax.grad(lambda p: loss_fn(p, False))(params)
+    imp_flat_u, _ = jax.tree_util.tree_flatten(grads_u["implicit_network"])
+    assert any(float(jnp.abs(g).sum()) > 0.0 for g in imp_flat_u)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in imp_flat_u)
 
 
 def test_secondary_tracer_override():
@@ -297,3 +309,29 @@ def test_shade_compaction_matches_dense():
         np.asarray(out_c["sg_rgb_values"])[~m], np.asarray(out_d["sg_rgb_values"])[~m],
         atol=1e-5,
     )
+
+
+def test_forward_overflow_counters():
+    """forward_with_uv must surface the compaction budgets' overflow counts:
+    zero for unbudgeted runs, positive when a budget is over-filled."""
+    conf = parse_string(SMALL_CONF).get_config("model")
+    model = IDRNetwork.from_conf(conf)
+    params = model.init_params(jax.random.PRNGKey(0))
+    inputs = _inputs(S=32)
+    key = jax.random.PRNGKey(1)
+
+    out = model.forward(params, inputs, key, training=True)
+    for k in ("sampler_overflow", "minsdf_overflow", "shade_overflow",
+              "secondary_overflow"):
+        assert int(out[k]) == 0, (k, int(out[k]))
+
+    # starve the secondary tracer's sampler budget: 3 strategies x 32 rays
+    # of secondary fan-out, budget 1 -> unconverged secondary rays overflow
+    starved = dataclasses.replace(
+        model,
+        secondary_ray_tracer=dataclasses.replace(
+            model.ray_tracer, sphere_tracing_iters=0, sampler_budget=1
+        ),
+    )
+    out_s = starved.forward(params, inputs, key, training=True)
+    assert int(out_s["secondary_overflow"]) > 0

@@ -175,3 +175,41 @@ def test_sample_network_gradient_implicit_function_theorem():
     jac = jax.jacobian(hit_point)(jnp.float32(0.5))
     # increasing r moves the hit point toward the camera: d x_z / d r = -1
     np.testing.assert_allclose(np.asarray(jac), [0.0, 0.0, -1.0], atol=1e-4)
+
+
+def test_budget_overflow_counters():
+    """Over-filled fallback budgets must report how many rays they dropped
+    (the budgets' 'exact while under budget' claim must be observable)."""
+    cam, dirs = _camera_rays(n_side=4, spread=0.8)  # mix of hit + miss rays
+    S = dirs.shape[1]
+    obj = jnp.ones((S,), bool)
+    key = jax.random.PRNGKey(0)
+
+    # dense tracer: exact, zero overflow on both counters
+    r_dense = RayTracer()(sphere_sdf(0.5), cam, obj, dirs, key=key, training=True)
+    assert int(r_dense.sampler_overflow) == 0
+    assert int(r_dense.minsdf_overflow) == 0
+
+    # sphere_tracing_iters=0 leaves every sphere-intersecting ray unconverged
+    # -> all take the fallback sampler; budget 2 < that count
+    r_s = RayTracer(sphere_tracing_iters=0, sampler_budget=2)(
+        sphere_sdf(0.5), cam, obj, dirs, key=key, training=True
+    )
+    n_unf = int(r_s.sampler_overflow)
+    assert n_unf > 0
+
+    # miss rays (inside the bounding sphere, object_mask on) take the min-SDF
+    # path in training; budget 1 < their count
+    r_m = RayTracer(minsdf_budget=1)(
+        sphere_sdf(0.5), cam, obj, dirs, key=key, training=True
+    )
+    assert int(r_m.minsdf_overflow) > 0
+    assert int(r_m.sampler_overflow) == 0
+
+    # counters survive jit
+    f = jax.jit(
+        lambda c, d: RayTracer(minsdf_budget=1)(
+            sphere_sdf(0.5), c, obj, d, key=key, training=True
+        )
+    )
+    assert int(f(cam, dirs).minsdf_overflow) == int(r_m.minsdf_overflow)

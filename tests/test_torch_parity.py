@@ -398,3 +398,184 @@ def test_power_heuristic_and_sg_light_parity(ptr_ref):
     ).sum(-2)
     ours_light = sampling.sg_light_eval(jnp.asarray(wi), jnp.asarray(lgt))
     np.testing.assert_allclose(np.asarray(ours_light), _n(ref_light), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end MC-estimator parity with INJECTED COMMON SAMPLES (VERDICT r2 #1):
+# the full pt_render_indirect_mlp chain — per-strategy pdfs, 3x3 MIS pdf
+# matrix, ONE batched secondary trace through the learned SDF, visibility +
+# indirect radiance at secondary hits, power-heuristic combine, and the
+# secondary_points/mask/dir outputs — compared head-to-head against the
+# reference (path_tracing_render.py:1255-1487, :2109-2166) on identical
+# sample directions and identical weights.
+# ---------------------------------------------------------------------------
+
+
+def _surface_setup(pair, n_max=48, seed=20):
+    """Shared shading points/normals/views/materials/sample directions.
+
+    The init geometry is a near-convex sphere (geometric init), so secondary
+    rays leaving the surface outward would never re-hit — no visibility or
+    indirect path would be exercised. Instead, points sit OFF-surface at
+    radius 0.9 with normals pointing INWARD at the object: hemisphere sample
+    directions then split into genuine secondary hits (blocked -> indirect
+    radiance) and misses (visible -> source light), covering every branch of
+    the estimator."""
+    n = n_max
+    rng = np.random.RandomState(seed + 1)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pts = (0.9 * d).astype(np.float32)
+    # inward normal, tilted a little so the hemispheres vary per point
+    tilt = rng.normal(scale=0.3, size=(n, 3)).astype(np.float32)
+    normal = -d + tilt
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    view = rng.normal(size=(n, 3)).astype(np.float32)
+    view /= np.linalg.norm(view, axis=-1, keepdims=True)
+    view = np.where(np.sum(view * normal, -1, keepdims=True) < 0, -view, view)
+    rough = rng.uniform(0.2, 0.8, (n, 1)).astype(np.float32)
+    spec = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    albedo = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    wis = []
+    for s in range(3):
+        w = rng.normal(size=(n, 3)).astype(np.float32)
+        w /= np.linalg.norm(w, axis=-1, keepdims=True)
+        w = np.where(np.sum(w * normal, -1, keepdims=True) < 0, -w, w)
+        wis.append(np.ascontiguousarray(w, np.float32))
+    return pts, normal.astype(np.float32), view.astype(np.float32), rough, spec, albedo, wis
+
+
+class _patched_ref_samplers:
+    """Monkeypatch the reference module's samplers to return fixed wi with
+    the pdf the strategy's canonical pdf function assigns — the same
+    convention pt_render_core's wi_override uses."""
+
+    def __init__(self, ptr, wt, env2d=False):
+        self.ptr, self.wt, self.env2d = ptr, wt, env2d
+
+    def __enter__(self):
+        ptr, wt = self.ptr, self.wt
+        self.saved = (
+            ptr.cos_sampling, ptr.brdf_sampling, ptr.mix_sg_sampling,
+            ptr.constant_2d_light_sampling,
+        )
+        ptr.cos_sampling = lambda normal: (
+            wt[0], ptr.pdf_fn_cos(wt[0], normal, None, None, None)
+        )
+        ptr.brdf_sampling = lambda normal, rough, view: (
+            wt[1], ptr.pdf_fn_brdf_gxx(wt[1], normal, view, rough, None)
+        )
+        ptr.mix_sg_sampling = lambda normal, lgt: (
+            wt[2], ptr.pdf_fn_mix_sg(wt[2], normal, None, None, lgt)
+        )
+        ptr.constant_2d_light_sampling = lambda normal, lgtMap: (
+            wt[2], ptr.pdf_fn_constant_2d_light(wt[2], normal, None, None, lgtMap)
+        )
+        return self
+
+    def __exit__(self, *exc):
+        (self.ptr.cos_sampling, self.ptr.brdf_sampling, self.ptr.mix_sg_sampling,
+         self.ptr.constant_2d_light_sampling) = self.saved
+        return False
+
+
+def _assert_estimator_parity(ref_out, our_out, min_mask_agree=0.97, min_db=60.0):
+    np.testing.assert_allclose(
+        np.asarray(our_out["secondary_dir"]), _n(ref_out["secondary_dir"]), atol=1e-6
+    )
+    m_ref = _n(ref_out["secondary_mask"]).astype(bool)[..., 0]
+    m_ours = np.asarray(our_out["secondary_mask"])[..., 0]
+    agree = m_ours == m_ref
+    assert agree.mean() >= min_mask_agree, f"secondary masks agree {agree.mean():.2%}"
+    both = m_ref & m_ours
+    assert both.sum() > 0, "no common secondary hits"
+    np.testing.assert_allclose(
+        np.asarray(our_out["secondary_points"])[both],
+        _n(ref_out["secondary_points"]).reshape(m_ref.shape + (3,))[both],
+        rtol=1e-3, atol=1e-3,
+    )
+    # full MIS estimate on rays where all strategies' hit masks agree
+    # (boundary rays whose secondary trace flipped differ by construction)
+    ok = agree.all(axis=0)
+    assert ok.mean() >= 0.9, f"only {ok.mean():.2%} rays comparable"
+    for k in ("sg_rgb", "sg_specular_rgb", "sg_diffuse_rgb"):
+        p = _psnr(np.asarray(our_out[k])[ok], _n(ref_out[k])[ok])
+        assert p >= min_db, f"{k}: PSNR {p:.1f} dB < {min_db}"
+
+
+def test_pt_render_indirect_mlp_estimator_parity(pair):
+    ref, ours, params, _ = pair
+    pts, normal, view, rough, spec, albedo, wis = _surface_setup(pair)
+    lgt = np.asarray(params["envmap_material_network"]["lgtSGs"], np.float32)
+    ptr = import_reference("model.path_tracing_render")
+
+    ref.eval()
+    with _patched_ref_samplers(ptr, [_t(w) for w in wis]):
+        with torch.no_grad():
+            ref_out = ptr.pt_render_indirect_mlp(
+                _t(lgt), _t(spec), _t(rough), _t(albedo),
+                _t(normal), _t(view), _t(pts), ref,
+            )
+
+    from nefii_tpu.ops import path_tracing as our_ptr
+
+    scene = ours.scene_fns(params)
+    our_out = our_ptr.pt_render_core(
+        jax.random.PRNGKey(0), jnp.asarray(lgt), jnp.asarray(spec),
+        jnp.asarray(rough), jnp.asarray(albedo), jnp.asarray(normal),
+        jnp.asarray(view), jnp.asarray(pts), scene,
+        strategies=("cos", "brdf", "mix_sg"), shadow="indirect",
+        diff_geo=False, speed_first=True, training=False,
+        wi_override=tuple(jnp.asarray(w) for w in wis),
+    )
+    _assert_estimator_parity(ref_out, our_out)
+
+    # memsave variant (speed_first=False) on the same injected samples
+    with _patched_ref_samplers(ptr, [_t(w) for w in wis]):
+        with torch.no_grad():
+            ref_ms = ptr.pt_render_indirect_mlp_memsave(
+                _t(lgt), _t(spec), _t(rough), _t(albedo),
+                _t(normal), _t(view), _t(pts), ref,
+            )
+    our_ms = our_ptr.pt_render_core(
+        jax.random.PRNGKey(0), jnp.asarray(lgt), jnp.asarray(spec),
+        jnp.asarray(rough), jnp.asarray(albedo), jnp.asarray(normal),
+        jnp.asarray(view), jnp.asarray(pts), scene,
+        strategies=("cos", "brdf", "mix_sg"), shadow="indirect",
+        diff_geo=False, speed_first=False, training=False,
+        wi_override=tuple(jnp.asarray(w) for w in wis),
+    )
+    _assert_estimator_parity(ref_ms, our_ms)
+
+
+def test_pt_render_envmap_estimator_parity(pair):
+    """Same estimator chain, constant-2D-envmap light (reference
+    path_tracing_render.py:1490-1733): cos/brdf/env2d strategies, texel
+    lookup radiance, PBRT 2D CDF light pdf."""
+    ref, ours, params, _ = pair
+    pts, normal, view, rough, spec, albedo, wis = _surface_setup(pair, seed=24)
+    rng = np.random.RandomState(40)
+    lgt_map = rng.uniform(0.05, 3.0, (16, 32, 3)).astype(np.float32)
+    ptr = import_reference("model.path_tracing_render")
+
+    ref.eval()
+    with _patched_ref_samplers(ptr, [_t(w) for w in wis], env2d=True):
+        with torch.no_grad():
+            ref_out = ptr.pt_render_shadow_indirect_mlp_envmap(
+                _t(lgt_map), _t(spec), _t(rough), _t(albedo),
+                _t(normal), _t(view), _t(pts), ref,
+            )
+
+    from nefii_tpu.ops import path_tracing as our_ptr
+
+    scene = ours.scene_fns(params)
+    our_out = our_ptr.pt_render_core(
+        jax.random.PRNGKey(0), jnp.asarray(lgt_map), jnp.asarray(spec),
+        jnp.asarray(rough), jnp.asarray(albedo), jnp.asarray(normal),
+        jnp.asarray(view), jnp.asarray(pts), scene,
+        strategies=("cos", "brdf", "env2d"), shadow="indirect",
+        diff_geo=False, light_type="constant", speed_first=True,
+        training=False,
+        wi_override=tuple(jnp.asarray(w) for w in wis),
+    )
+    _assert_estimator_parity(ref_out, our_out)

@@ -270,53 +270,42 @@ def test_freeze_geometry_keeps_implicit_params(scene_dir, tmp_path):
     )
 
 
-def test_secondary_step_leaves_implicit_untouched(scene_dir, tmp_path):
-    """The secondary distillation step force-freezes geometry (reference
-    idr_train.py:515-518); like torch Adam skipping None-grad params, the
-    implicit net's params AND its adam moments must be bit-identical before
-    and after the step, while material params move."""
+def _run_secondary_step(runner):
     import jax
-    import numpy as np
-
-    runner = _make_runner(scene_dir, tmp_path, secondary_train_interval=-1)
-    step = runner._get_secondary_step(False, False)
-
     import jax.numpy as jnp
 
+    step = runner._get_secondary_step(False, False)
     pts = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 3)) * 0.4
     dirs = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 3))
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     batch = {"points": pts, "ray_dirs": dirs}
     valid = jnp.ones((8,), jnp.float32)
 
-    import copy
-
     before_p = jax.tree_util.tree_map(np.asarray, runner.params)
-    before_s = jax.tree_util.tree_map(np.asarray, runner.idr_opt_state)
     params, idr_state, sg_state, l = step(
         runner.params, runner.idr_opt_state, runner.sg_opt_state,
         batch, valid, jax.random.PRNGKey(2),
     )
     after_p = jax.tree_util.tree_map(np.asarray, params)
+    return before_p, after_p
+
+
+def test_secondary_step_frozen_geometry_leaves_implicit_untouched(scene_dir, tmp_path):
+    """With the run-level --freeze_geometry flag (the shipped Step-2
+    workflow), implicit params have requires_grad=False in the reference and
+    torch Adam skips them — the implicit net must be bit-identical before and
+    after the secondary step, while material params move."""
+    import jax
+
+    runner = _make_runner(
+        scene_dir, tmp_path, secondary_train_interval=-1, freeze_geometry=True
+    )
+    before_p, after_p = _run_secondary_step(runner)
 
     for a, b in zip(jax.tree_util.tree_leaves(before_p["implicit_network"]),
                     jax.tree_util.tree_leaves(after_p["implicit_network"])):
         np.testing.assert_array_equal(a, b)
 
-    # implicit adam moments inside the idr optimizer state are untouched
-    dict_key = jax.tree_util.DictKey
-    flat_before = jax.tree_util.tree_flatten_with_path(before_s)[0]
-    flat_after = jax.tree_util.tree_flatten_with_path(
-        jax.tree_util.tree_map(np.asarray, idr_state))[0]
-    n_imp = 0
-    for (path_b, vb), (path_a, va) in zip(flat_before, flat_after):
-        assert path_b == path_a
-        if any(isinstance(p, dict_key) and p.key == "implicit_network" for p in path_b):
-            n_imp += 1
-            np.testing.assert_array_equal(vb, va)
-    assert n_imp > 0
-
-    # material params did move
     moved = any(
         not np.array_equal(a, b)
         for a, b in zip(
@@ -325,3 +314,25 @@ def test_secondary_step_leaves_implicit_untouched(scene_dir, tmp_path):
         )
     )
     assert moved
+
+
+def test_secondary_step_unfrozen_geometry_trains_feature_path(scene_dir, tmp_path):
+    """Without the freeze flag, the reference's secondary step keeps the
+    feature path attached (implicit_differentiable_renderer.py:514-518,
+    :533-540 detach only the normals) and its idr optimizer steps the
+    implicit net — ours must too."""
+    import jax
+
+    runner = _make_runner(scene_dir, tmp_path, secondary_train_interval=-1)
+    before_p, after_p = _run_secondary_step(runner)
+
+    moved = any(
+        not np.array_equal(a, b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before_p["implicit_network"]),
+            jax.tree_util.tree_leaves(after_p["implicit_network"]),
+        )
+    )
+    assert moved
+    for leaf in jax.tree_util.tree_leaves(after_p):
+        assert np.all(np.isfinite(leaf))
