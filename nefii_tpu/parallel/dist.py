@@ -1,0 +1,114 @@
+"""Multi-host (multi-process) execution support.
+
+TPU-native replacement for the reference's multi-process path —
+`torch.distributed.launch` + NCCL process groups
+(training/idr_train.py:28-40, training_scripts/robot/run_s2.sh:13),
+rank-0-only filesystem writes (idr_train.py:94,695) and per-rank data
+scatter (datasets/scene_dataset.py:260-279):
+
+  * `initialize()` wraps `jax.distributed.initialize` (idempotent; no-op for
+    a single process). After it, `jax.devices()` spans every process and
+    `make_mesh()` builds one global ray mesh — the same SPMD step then runs
+    unchanged, with psums riding ICI within a host and DCN across hosts.
+  * Every host draws the SAME epoch sample (shared seed, the reference's
+    shared-sampler scheme) and materialises only its addressable shard of
+    the global batch via `jax.make_array_from_callback` — the analogue of
+    `scatter_sampling_idx`, but derived from the mesh instead of hand-rolled
+    rank slicing.
+  * `is_main()` guards filesystem writes (checkpoints, vis, tensorboard,
+    code backup) exactly like the reference's rank-0 checks.
+  * `to_host()` fetches a (possibly non-addressable) global array to every
+    host for host-side logic (secondary-point selection, image assembly) —
+    the fixed-shape replacement for the reference's pickled
+    `dist.gather_object` (idr_train.py:443-447).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_initialized = False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[str] = None,
+) -> None:
+    """Idempotent `jax.distributed.initialize`.
+
+    With no arguments, relies on the environment (TPU pod metadata or the
+    JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID variables) —
+    the moral equivalent of torch.distributed.launch's env:// init
+    (reference idr_train.py:32). Call before any other jax API touches the
+    backend."""
+    global _initialized
+    if _initialized:
+        return
+    kwargs: Dict[str, Any] = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    if local_device_ids:
+        kwargs["local_device_ids"] = [
+            int(d) for d in str(local_device_ids).split(",")
+        ]
+    jax.distributed.initialize(**kwargs)
+    _initialized = True
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_main() -> bool:
+    """True on the process that owns filesystem writes (rank 0)."""
+    return jax.process_index() == 0
+
+
+def make_global_array(mesh: Mesh, value, pspec: P):
+    """Build a globally-sharded array from a host-replicated numpy value.
+
+    Single-process: a plain device_put with the target sharding. Multi-host:
+    every process holds the full `value` (all hosts draw the same sample)
+    and contributes exactly the shards its addressable devices own via
+    `jax.make_array_from_callback` — no cross-host data movement."""
+    sharding = NamedSharding(mesh, pspec)
+    arr = np.asarray(value)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def make_global_batch(mesh: Mesh, batch: Dict[str, Any], specs: Dict[str, P]):
+    """Place a dict batch on the global mesh with per-key partition specs."""
+    return {
+        k: make_global_array(mesh, v, specs[k]) for k, v in batch.items()
+    }
+
+
+def to_host(x) -> np.ndarray:
+    """Fetch an array (possibly sharded across processes) as host numpy.
+
+    Fully-addressable arrays come back directly. Cross-host-sharded global
+    arrays are resharded to replicated through a jitted identity (XLA
+    inserts the all-gather over whatever axes were sharded — correct for
+    any partition spec, unlike a leading-axis-only gather) and the local
+    replica is read out."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        rep = jax.jit(
+            lambda a: a, out_shardings=NamedSharding(x.sharding.mesh, P())
+        )(x)
+        return np.asarray(rep.addressable_data(0))
+    return np.asarray(x)

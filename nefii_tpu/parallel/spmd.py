@@ -170,6 +170,7 @@ def make_eval_forward(
         "sg_diffuse_rgb_values", "sg_diffuse_albedo_values",
         "sg_specular_rgb_values", "sg_roughness_values",
         "sg_specular_reflection_values", "network_object_mask",
+        "points",
     ),
 ):
     """Shard-mapped eval forward: each chip renders its ray shard; outputs

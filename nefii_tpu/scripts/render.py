@@ -77,8 +77,14 @@ class RenderRunner:
         )
         print(f"restored checkpoint from {ckdir}")
 
+        from nefii_tpu.parallel import dist
+
+        # rank-0-only writes in multi-host runs (reference render.py gathers
+        # to rank 0 and writes there, scripts/render.py:330-360,407-442)
+        self.is_main = dist.is_main()
         self.out_dir = kwargs.get("out_dir") or os.path.join(expdir, timestamp, "renders")
-        os.makedirs(self.out_dir, exist_ok=True)
+        if self.is_main:
+            os.makedirs(self.out_dir, exist_ok=True)
         self.envmap_size = tuple(kwargs.get("envmap_size", (256, 512)))
         self.max_views = kwargs.get("max_views", -1)
 
@@ -114,17 +120,20 @@ class RenderRunner:
         eval_build = spmd.make_eval_forward(self.model, self.mesh)
         cache = {}
 
+        from nefii_tpu.parallel import dist
+
         def forward(chunk):
             batch = {
-                "uv": jnp.asarray(chunk["uv"], jnp.float32),
-                "object_mask": jnp.asarray(chunk["object_mask"]),
-                "intrinsics": jnp.asarray(chunk["intrinsics"], jnp.float32),
-                "pose": jnp.asarray(chunk["pose"], jnp.float32),
+                "uv": np.asarray(chunk["uv"], np.float32),
+                "object_mask": np.asarray(chunk["object_mask"]),
+                "intrinsics": np.asarray(chunk["intrinsics"], np.float32),
+                "pose": np.asarray(chunk["pose"], np.float32),
             }
+            batch = dist.make_global_batch(self.mesh, batch, spmd.batch_pspec(batch))
             if "fn" not in cache:
                 cache["fn"] = jax.jit(eval_build(batch))
             out = cache["fn"](self.params, batch, jax.random.PRNGKey(img_idx))
-            return {k: np.asarray(v) for k, v in out.items()}
+            return {k: dist.to_host(v) for k, v in out.items()}
 
         with self.mesh:
             out = utils.chunked_forward(forward, model_input, total, n_pix)
@@ -133,6 +142,8 @@ class RenderRunner:
 
     # ------------------------------------------------------------------
     def write_view(self, img_idx: int, out):
+        if not self.is_main:
+            return
         import imageio.v2 as imageio
 
         from nefii_tpu.utils import exr as exr_io
@@ -169,6 +180,8 @@ class RenderRunner:
         )
 
     def write_envmap(self):
+        if not self.is_main:
+            return
         import jax.numpy as jnp
 
         from nefii_tpu.ops.sg import compute_envmap

@@ -64,6 +64,16 @@ def add_argument(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--light_sg_path", type=str, default="")
 
     parser.add_argument("--local_rank", type=int, default=-1)
+    # multi-host (multi-process) execution — the reference's
+    # torch.distributed.launch + NCCL path (idr_train.py:28-40). With
+    # --multihost alone, jax.distributed.initialize auto-detects the cluster
+    # (TPU pod metadata / JAX_COORDINATOR_ADDRESS env); the explicit flags
+    # mirror torch's --master_addr/--nproc/--node_rank for manual launches.
+    parser.add_argument("--multihost", default=False, action="store_true",
+                        help="initialise jax.distributed before training")
+    parser.add_argument("--coordinator_address", type=str, default="")
+    parser.add_argument("--num_processes", type=int, default=-1)
+    parser.add_argument("--process_id", type=int, default=-1)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--profile_dir", type=str, default="",
                         help="write a jax.profiler trace of the first train "
@@ -77,6 +87,15 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser = add_argument(parser)
     opt = parser.parse_args(argv)
+
+    if opt.multihost:
+        from nefii_tpu.parallel import dist
+
+        dist.initialize(
+            coordinator_address=opt.coordinator_address or None,
+            num_processes=opt.num_processes if opt.num_processes > 0 else None,
+            process_id=opt.process_id if opt.process_id >= 0 else None,
+        )
 
     runner = IDRTrainRunner(
         conf=opt.conf,

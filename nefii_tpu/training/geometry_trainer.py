@@ -45,17 +45,22 @@ class GeometryTrainRunner:
         )
         self.seed = kwargs.get("seed", 0)
 
+        from nefii_tpu.parallel import dist
+
+        # rank-0-only filesystem writes (reference idr_train.py:94,695)
+        self.is_main = dist.is_main()
         timestamp = kwargs.get("timestamp") or datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
         self.rundir = os.path.join(self.exps_folder_name, self.expname, timestamp)
         self.checkpoints_path = os.path.join(self.rundir, "checkpoints")
         self.plots_dir = os.path.join(self.rundir, "plots")
-        for d in (self.rundir, self.checkpoints_path, self.plots_dir):
-            utils.mkdir_ifnotexists(d)
-        conf_path = kwargs["conf"] if isinstance(kwargs["conf"], str) else None
-        if conf_path and os.path.exists(conf_path):
-            shutil.copy(conf_path, os.path.join(self.rundir, "runconf.conf"))
-        with open(os.path.join(self.rundir, "runcmd.txt"), "a") as f:
-            f.write(" ".join(sys.argv) + "\n")
+        if self.is_main:
+            for d in (self.rundir, self.checkpoints_path, self.plots_dir):
+                utils.mkdir_ifnotexists(d)
+            conf_path = kwargs["conf"] if isinstance(kwargs["conf"], str) else None
+            if conf_path and os.path.exists(conf_path):
+                shutil.copy(conf_path, os.path.join(self.rundir, "runconf.conf"))
+            with open(os.path.join(self.rundir, "runcmd.txt"), "a") as f:
+                f.write(" ".join(sys.argv) + "\n")
 
         # data: mesh -> sdf sample stream
         self.dataset = SDFDataset(
@@ -154,6 +159,8 @@ class GeometryTrainRunner:
 
     # ------------------------------------------------------------------
     def save_checkpoints(self, it: int):
+        if not self.is_main:
+            return
         for tag in (str(it), "latest"):
             ckpt.save_collection(
                 self.checkpoints_path, ckpt.MODEL, tag, self.params, {"epoch": it}
@@ -177,8 +184,17 @@ class GeometryTrainRunner:
             if item is None:
                 break
             pts, sdf_gt = item
+            from jax.sharding import PartitionSpec as P
+
+            from nefii_tpu.parallel import dist
+            from nefii_tpu.parallel.mesh import RAY_AXIS
+
+            # global placement: every host draws the same deterministic
+            # sample stream and contributes its addressable shard
+            pts_g = dist.make_global_array(self.mesh, pts, P(RAY_AXIS))
+            sdf_g = dist.make_global_array(self.mesh, sdf_gt, P(RAY_AXIS))
             self.params, self.opt_state, loss = self._step(
-                self.params, self.opt_state, jnp.asarray(pts), jnp.asarray(sdf_gt)
+                self.params, self.opt_state, pts_g, sdf_g
             )
             if it % self.ckpt_freq == 0:
                 self.save_checkpoints(it)
@@ -199,6 +215,8 @@ class GeometryTrainRunner:
     def vis(self, it: int, img_idx: int = 0):
         """Render normals + depth of the current SDF through the tracer
         (reference geometry_train vis_train :248-340)."""
+        if not self.is_main:
+            return
         import imageio.v2 as imageio
         import jax.numpy as jnp
 

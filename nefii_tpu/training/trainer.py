@@ -36,7 +36,7 @@ import optax
 
 from nefii_tpu.config import ConfigFactory, ConfigTree, get_class
 from nefii_tpu.models.loss import IDRLoss
-from nefii_tpu.parallel import spmd
+from nefii_tpu.parallel import dist, spmd
 from nefii_tpu.parallel.mesh import make_mesh, shard_batch
 from nefii_tpu.utils import checkpoints as ckpt
 from nefii_tpu.utils import general as utils
@@ -100,6 +100,9 @@ class IDRTrainRunner:
         self.coordinate_type = kwargs.get("coordinate_type", "mitsuba")
 
         # ---- experiment dir -------------------------------------------------
+        # filesystem writes are process-0-only in multi-host runs — the
+        # reference's rank guards (idr_train.py:94,695)
+        self.is_main = dist.is_main()
         self.expname = kwargs.get("expname") or self.conf.get_string(
             "train.expname", default="default"
         )
@@ -113,29 +116,39 @@ class IDRTrainRunner:
             timestamp = timestamp_arg
         else:
             timestamp = datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+        if dist.process_count() > 1:
+            # hosts' clocks may disagree: every process must use rank 0's stamp
+            from jax.experimental import multihost_utils
+
+            buf = np.zeros(32, np.uint8)
+            enc = timestamp.encode()[:32]
+            buf[: len(enc)] = np.frombuffer(enc, np.uint8)
+            buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+            timestamp = bytes(buf[buf > 0]).decode()
         self.timestamp = timestamp
         self.rundir = os.path.join(self.expdir, timestamp)
         self.checkpoints_path = os.path.join(self.rundir, "checkpoints")
         self.plots_dir = os.path.join(self.rundir, "plots")
-        for d in (self.rundir, self.checkpoints_path, self.plots_dir):
-            utils.mkdir_ifnotexists(d)
-        # conf + full code backup + run command (reference :124-133 copies the
-        # whole code directory into the experiment dir for reproducibility)
-        conf_path = kwargs["conf"] if isinstance(kwargs["conf"], str) else None
-        if conf_path and os.path.exists(conf_path):
-            shutil.copy(conf_path, os.path.join(self.rundir, "runconf.conf"))
-        if not is_continue and kwargs.get("backup_code", True):
-            import nefii_tpu
+        if self.is_main:
+            for d in (self.rundir, self.checkpoints_path, self.plots_dir):
+                utils.mkdir_ifnotexists(d)
+            # conf + full code backup + run command (reference :124-133 copies
+            # the whole code directory into the experiment dir)
+            conf_path = kwargs["conf"] if isinstance(kwargs["conf"], str) else None
+            if conf_path and os.path.exists(conf_path):
+                shutil.copy(conf_path, os.path.join(self.rundir, "runconf.conf"))
+            if not is_continue and kwargs.get("backup_code", True):
+                import nefii_tpu
 
-            src = os.path.dirname(os.path.abspath(nefii_tpu.__file__))
-            dst = os.path.join(self.rundir, "code", "nefii_tpu")
-            if not os.path.exists(dst):
-                shutil.copytree(
-                    src, dst,
-                    ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "*.so", "*.o"),
-                )
-        with open(os.path.join(self.rundir, "runcmd.txt"), "a") as f:
-            f.write(" ".join(sys.argv) + "\n")
+                src = os.path.dirname(os.path.abspath(nefii_tpu.__file__))
+                dst = os.path.join(self.rundir, "code", "nefii_tpu")
+                if not os.path.exists(dst):
+                    shutil.copytree(
+                        src, dst,
+                        ignore=shutil.ignore_patterns("__pycache__", "*.pyc", "*.so", "*.o"),
+                    )
+            with open(os.path.join(self.rundir, "runcmd.txt"), "a") as f:
+                f.write(" ".join(sys.argv) + "\n")
 
         # ---- data -----------------------------------------------------------
         dataset_class = get_class(self.conf.get_string("train.dataset_class"))
@@ -230,7 +243,7 @@ class IDRTrainRunner:
         # checkpointed cur_iter was not restored (reference idr_train.py uses
         # start_epoch * n_batches, i.e. batches per epoch, not images)
         if self.cur_iter == 0:
-            steps_per_epoch = max(1, len(self.train_dataset) // self.batch_size)
+            steps_per_epoch = max(1, -(-len(self.train_dataset) // self.batch_size))
             self.cur_iter = self.start_epoch * steps_per_epoch
 
     # ------------------------------------------------------------------
@@ -399,6 +412,8 @@ class IDRTrainRunner:
 
     # ------------------------------------------------------------------
     def save_checkpoints(self, epoch: int):
+        if not self.is_main:
+            return
         ckpt.save_all(
             self.checkpoints_path, epoch, self.params,
             self.idr_opt_state, self.sg_opt_state, self.cur_iter,
@@ -431,6 +446,17 @@ class IDRTrainRunner:
         else:
             batch["pose"] = jnp.asarray(model_input["pose"], jnp.float32)
         gt = {"rgb": jnp.asarray(ground_truth["rgb"], jnp.float32)}
+        return batch, gt
+
+    def _place_batch(self, batch, gt):
+        """Place the host batch as globally-sharded arrays on the mesh.
+
+        Multi-host: every process holds the same full sample (shared epoch
+        seed) and contributes only its addressable shards — the reference's
+        per-rank pixel scatter (scene_dataset.py:260-279) derived from the
+        mesh. Single-host: a plain sharded device_put."""
+        batch = dist.make_global_batch(self.mesh, batch, spmd.batch_pspec(batch))
+        gt = dist.make_global_batch(self.mesh, gt, spmd.batch_pspec(gt))
         return batch, gt
 
     # ------------------------------------------------------------------
@@ -507,14 +533,15 @@ class IDRTrainRunner:
                     print(f"Training reached max iters {self.cur_iter}; exiting")
                     return
 
-                # NOTE: unlike the reference DataLoader (no drop_last,
-                # idr_train.py:152-160, which trains a smaller final batch),
-                # the remainder images are dropped each epoch — a partial
-                # batch would change the jitted step's static shapes. The
-                # shuffle differs per epoch, so every image still trains.
+                # Like the reference DataLoader (no drop_last,
+                # idr_train.py:152-160), the final batch of an epoch holds
+                # the remainder images and is simply smaller. The jitted
+                # step retraces once for the second static shape (at most
+                # one extra compile per run) — exact loader semantics, no
+                # dropped or padded data.
                 order = np.random.default_rng(epoch).permutation(n_images)
-                for step_i in range(max(1, n_images // self.batch_size)):
-                    # batch_size > n_images degenerates to one all-image batch
+                n_batches = max(1, -(-n_images // self.batch_size))
+                for step_i in range(n_batches):
                     img_ids = order[
                         step_i * self.batch_size : (step_i + 1) * self.batch_size
                     ]
@@ -540,6 +567,7 @@ class IDRTrainRunner:
                             batch, gt = self._append_paired_view(batch, gt, indices, sub)
 
                     fake_r, fake_s = self._fakes()
+                    batch, gt = self._place_batch(batch, gt)
                     step = self._get_step(fake_r, fake_s, batch, gt)
                     key, sub = jax.random.split(key)
                     alpha = jnp.float32(self._alpha())
@@ -594,9 +622,9 @@ class IDRTrainRunner:
         secondary hits, keep <= secondary_batch_size (fixed shape via
         argsort-compaction), expand each to R rays, minimise
         L1(sg_rgb, idr_rgb)."""
-        pts = np.asarray(secondary["secondary_points"]).reshape(-1, 3)
-        mask = np.asarray(secondary["secondary_mask"]).reshape(-1)
-        dirs = np.asarray(secondary["secondary_dir"]).reshape(-1, 3)
+        pts = dist.to_host(secondary["secondary_points"]).reshape(-1, 3)
+        mask = dist.to_host(secondary["secondary_mask"]).reshape(-1)
+        dirs = dist.to_host(secondary["secondary_dir"]).reshape(-1, 3)
         if mask.sum() < 1:
             return
 
@@ -612,16 +640,23 @@ class IDRTrainRunner:
 
         R = max(self.num_rays, 1)
         batch = {
-            "points": jnp.asarray(np.broadcast_to(sel_pts[:, None, :], (K, R, 3))),
-            "ray_dirs": jnp.asarray(np.broadcast_to(sel_dirs[:, None, :], (K, R, 3))),
+            "points": np.ascontiguousarray(
+                np.broadcast_to(sel_pts[:, None, :], (K, R, 3))
+            ),
+            "ray_dirs": np.ascontiguousarray(
+                np.broadcast_to(sel_dirs[:, None, :], (K, R, 3))
+            ),
         }
+        valid_np = np.asarray(valid, np.float32)
+        batch = dist.make_global_batch(self.mesh, batch, spmd.batch_pspec(batch))
+        valid_g = dist.make_global_array(self.mesh, valid_np, spmd.P(spmd.RAY_AXIS))
         step = self._get_secondary_step(fake_r, fake_s)
         (self.params, self.idr_opt_state, self.sg_opt_state, l) = step(
             self.params, self.idr_opt_state, self.sg_opt_state,
-            batch, jnp.asarray(valid, jnp.float32), key,
+            batch, valid_g, key,
         )
-        if self.cur_iter % 50 == 0:
-            print(f"\tsecondary_num={int(valid.sum())}/{int(mask.sum())}, "
+        if self.is_main and self.cur_iter % 50 == 0:
+            print(f"\tsecondary_num={int(valid_np.sum())}/{int(mask.sum())}, "
                   f"secondary_loss = {float(l):.6f}")
 
     # ------------------------------------------------------------------
@@ -637,7 +672,7 @@ class IDRTrainRunner:
         counts = {
             k: int(loss_dict[k]) for k in self._OVERFLOW_KEYS if k in loss_dict
         }
-        if not any(counts.values()):
+        if not any(counts.values()) or not self.is_main:
             return
         self._overflow_events = getattr(self, "_overflow_events", 0) + 1
         if self._overflow_events <= 5 or self.cur_iter % self.log_freq == 0:
@@ -650,6 +685,8 @@ class IDRTrainRunner:
             )
 
     def log_scalars(self, epoch, loss_dict, mse2psnr, alpha):
+        if not self.is_main:
+            return
         if self._writer is None:
             from tensorboardX import SummaryWriter
 
@@ -684,7 +721,10 @@ class IDRTrainRunner:
         from nefii_tpu.ops.sg import compute_envmap
 
         dataset = self.plot_dataset if split == "train" else self.test_dataset
+        # all processes run the (collective) render; only rank 0 writes
         out = self.render_image(dataset, img_idx)
+        if not self.is_main:
+            return
         H, W = dataset.img_res
 
         def im(key, default=None):
@@ -698,9 +738,20 @@ class IDRTrainRunner:
                 (out["normal_values"].reshape(H, W, 3) + 1) / 2]
         row3 = [im("sg_diffuse_albedo_values"), im("sg_roughness_values"),
                 im("sg_specular_reflection_values")]
+        # depth panel (the reference vis renders depth too —
+        # idr_train.py:380-558 via utils/plots.py:244-283)
+        from nefii_tpu.utils.plots import depth_map
+
+        pose_np = np.asarray(dataset.pose_all[img_idx])
+        hit = np.asarray(out["network_object_mask"]).reshape(-1).astype(bool)
+        depth_img = depth_map(
+            np.asarray(out["points"]).reshape(-1, 3), pose_np, hit, (H, W)
+        )
+        white = np.ones_like(depth_img)
+        row4 = [depth_img, white, white]
         stack = np.concatenate(
             [np.concatenate([np.clip(p, 0, 1) for p in row], axis=1)
-             for row in (row1, row2, row3)], axis=0,
+             for row in (row1, row2, row3, row4)], axis=0,
         )
         imageio.imwrite(
             os.path.join(self.plots_dir, f"{split}_{it}.png"),
@@ -719,6 +770,17 @@ class IDRTrainRunner:
             )
         )
         exr_io.write(os.path.join(self.plots_dir, f"{split}_{it}_envmap.exr"), env)
+        if split == "train":
+            # marching-tetrahedra surface dump on the plot cadence (the
+            # reference exports meshes through plots during vis)
+            from nefii_tpu.utils.plots import export_surface
+
+            p_imp = self.params["implicit_network"]
+            export_surface(
+                lambda x: self.model.implicit_network.sdf(p_imp, x),
+                os.path.join(self.plots_dir, f"surface_{it}.obj"),
+                resolution=self.conf.get_int("plot.surface_resolution", default=100),
+            )
         if self._writer is not None:
             self._writer.add_image(f"vis/{split}", stack.transpose(2, 0, 1), it)
             env_tm = np.clip(np.power(np.clip(env, 0, None), 1 / 2.2), 0, 1)
@@ -745,15 +807,16 @@ class IDRTrainRunner:
 
         def forward(chunk):
             batch = {
-                "uv": jnp.asarray(chunk["uv"], jnp.float32),
-                "object_mask": jnp.asarray(chunk["object_mask"]),
-                "intrinsics": jnp.asarray(chunk["intrinsics"], jnp.float32),
-                "pose": jnp.asarray(chunk["pose"], jnp.float32),
+                "uv": np.asarray(chunk["uv"], np.float32),
+                "object_mask": np.asarray(chunk["object_mask"]),
+                "intrinsics": np.asarray(chunk["intrinsics"], np.float32),
+                "pose": np.asarray(chunk["pose"], np.float32),
             }
+            batch = dist.make_global_batch(self.mesh, batch, spmd.batch_pspec(batch))
             if "fn" not in fn_cache:
                 fn_cache["fn"] = jax.jit(eval_build(batch))
             out = fn_cache["fn"](self.params, batch, jax.random.PRNGKey(0))
-            return {k: np.asarray(v) for k, v in out.items()}
+            return {k: dist.to_host(v) for k, v in out.items()}
 
         model_input = dict(model_input)
         if "pose" not in model_input:

@@ -5,6 +5,10 @@ import numpy as np
 
 from nefii_tpu.utils import camera
 
+import pytest
+
+pytestmark = pytest.mark.fast  # sub-minute math/unit tests
+
 
 def _look_at_pose(eye, target=np.zeros(3), up=np.array([0.0, 1.0, 0.0])):
     """c2w pose with +z forward (IDR/NeFII convention)."""

@@ -6,6 +6,10 @@ import pytest
 
 from nefii_tpu.config import ConfigFactory, parse_string
 
+import pytest
+
+pytestmark = pytest.mark.fast  # sub-minute math/unit tests
+
 REFERENCE_CONF = "/root/reference/code/confs_sg/conf.conf"
 
 SAMPLE = """

@@ -6,6 +6,10 @@ import numpy as np
 
 from nefii_tpu.models.loss import IDRLoss, ssim_loss_fn
 
+import pytest
+
+pytestmark = pytest.mark.fast  # sub-minute math/unit tests
+
 
 def _loss(**kw):
     base = dict(

@@ -1,0 +1,105 @@
+"""Multi-host readiness (VERDICT r2 #2).
+
+The reference runs multi-process via torch.distributed.launch + NCCL with
+rank-0-only writes and per-rank data scatter (idr_train.py:28-40,94,695;
+scene_dataset.py:260-279). The TPU-native equivalent is
+jax.distributed.initialize + ONE global mesh + global-batch placement
+(parallel/dist.py). These tests check:
+
+  * degenerate single-process semantics: is_main() is True, global batch
+    placement equals plain device_put, to_host round-trips;
+  * a REAL 2-process CPU cluster (jax.distributed local coordinator, 2
+    virtual devices per process) computes the identical loss and gradient
+    norm to the single-process 4-device run — DDP-equals-serial, extended
+    to multi-host.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def test_single_process_degenerate():
+    import jax
+
+    from nefii_tpu.parallel import dist, spmd
+    from nefii_tpu.parallel.mesh import make_mesh
+
+    assert dist.is_main()
+    assert dist.process_count() == 1
+
+    mesh = make_mesh(4)
+    batch = {"uv": np.arange(24, dtype=np.float32).reshape(1, 12, 2)}
+    placed = dist.make_global_batch(mesh, batch, spmd.batch_pspec(batch))
+    np.testing.assert_array_equal(dist.to_host(placed["uv"]), batch["uv"])
+    # sharded as requested
+    assert placed["uv"].sharding.spec == spmd.P(None, "ray")
+
+
+def _run_cluster(nproc=2, devs=2, port=23457):
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.join(HERE, "multihost_driver.py"),
+                 str(pid), str(nproc), str(port), str(devs)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=HERE,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, f"driver failed:\n{out[-3000:]}"
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"no RESULT line:\n{out[-3000:]}"
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+    return results
+
+
+def test_two_process_cluster_matches_single_process():
+    # single-process oracle on a 4-device mesh, in a subprocess so the
+    # device-count flag doesn't fight the session's jax config; launched
+    # CONCURRENTLY with the 2-process cluster to halve compile wall time
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    oracle_proc = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import os, sys, json;"
+            "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=4';"
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            f"sys.path.insert(0,{HERE!r});"
+            f"sys.path.insert(0,{os.path.dirname(HERE)!r});"
+            "import multihost_driver as d;"
+            "from nefii_tpu.parallel.mesh import make_mesh;"
+            "print('RESULT ' + json.dumps(d.evaluate(make_mesh())))"
+        )],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=HERE,
+    )
+
+    results = _run_cluster(nproc=2, devs=2)
+
+    oracle_txt, _ = oracle_proc.communicate(timeout=600)
+    assert oracle_proc.returncode == 0, oracle_txt[-3000:]
+    oracle = json.loads(
+        [l for l in oracle_txt.splitlines() if l.startswith("RESULT ")][-1][7:]
+    )
+    assert sum(r["is_main"] for r in results) == 1
+    for r in results:
+        assert r["process_count"] == 2
+        np.testing.assert_allclose(r["loss"], oracle["loss"], rtol=1e-6)
+        np.testing.assert_allclose(r["gnorm"], oracle["gnorm"], rtol=1e-5)

@@ -7,6 +7,10 @@ import numpy as np
 from nefii_tpu.models.sample_network import sample_network
 from nefii_tpu.ops.ray_tracing import RayTracer
 
+import pytest
+
+pytestmark = pytest.mark.fast  # sub-minute math/unit tests
+
 
 def sphere_sdf(r=0.5):
     return lambda x: jnp.linalg.norm(x, axis=-1) - r

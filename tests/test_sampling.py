@@ -7,6 +7,10 @@ import numpy as np
 
 from nefii_tpu.ops import sampling
 
+import pytest
+
+pytestmark = pytest.mark.fast  # sub-minute math/unit tests
+
 
 def _sphere_dirs(n, seed=0):
     rng = np.random.RandomState(seed)

@@ -7,6 +7,10 @@ import numpy as np
 
 from nefii_tpu.ops import sg
 
+import pytest
+
+pytestmark = pytest.mark.fast  # sub-minute math/unit tests
+
 
 def _mc_hemisphere_int(lam, cos_beta, n=400_000, seed=0):
     """Monte-Carlo integral of exp(lam*(<w, xi>-1)) over hemisphere about n_hat,

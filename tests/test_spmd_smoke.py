@@ -14,9 +14,10 @@ from nefii_tpu.models.loss import IDRLoss
 from nefii_tpu.parallel import spmd
 from nefii_tpu.parallel.mesh import make_mesh
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
-)
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"),
+    pytest.mark.fast,  # the fast tier's sharding smoke (~75 s, its slowest item)
+]
 
 # render_type=sg: deterministic closed-form shading, so the sharded loss must
 # EQUAL single-device (pt_render_* folds the RNG key per shard by design —

@@ -219,8 +219,10 @@ def test_batch_size_two_trains_on_both_images(scene_dir, tmp_path):
 
     runner.train_dataset.collate = recording_collate
     runner.run()
-    # 3 images // batch_size 2 -> 1 step per epoch, each with 2 stacked images
-    assert seen_B and all(b == 2 for b in seen_B), seen_B
+    # ceil(3/2) = 2 steps per epoch: one full batch of 2, then the 1-image
+    # remainder (reference loader has no drop_last, idr_train.py:152-160);
+    # nepochs=1 runs epochs 0 and 1
+    assert seen_B == [2, 1, 2, 1], seen_B
 
     # both rows contribute: perturbing image 2's gt changes the loss
     runner._sample_pixels(0)
@@ -336,3 +338,17 @@ def test_secondary_step_unfrozen_geometry_trains_feature_path(scene_dir, tmp_pat
     assert moved
     for leaf in jax.tree_util.tree_leaves(after_p):
         assert np.all(np.isfinite(leaf))
+
+
+def test_epoch_remainder_batch_trains(scene_dir, tmp_path):
+    """The reference DataLoader has no drop_last (idr_train.py:152-160): with
+    3 images and batch_size=2, an epoch is TWO steps (2 images + the 1-image
+    remainder). Round-2 dropped the remainder; it must train now."""
+    runner = _make_runner(
+        scene_dir, tmp_path, batch_size=2, nepochs=1,
+        secondary_train_interval=-1,
+    )
+    assert len(runner.train_dataset) == 3
+    runner.run()
+    # ceil(3/2) = 2 steps/epoch x 2 epochs (nepochs=1 runs epochs 0 and 1)
+    assert runner.cur_iter == 4

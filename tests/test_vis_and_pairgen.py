@@ -24,13 +24,22 @@ def test_vis_writes_panels(scene_dir, tmp_path):
     runner.vis("train", 0)
     runner.vis("test", 0)
     for f in ("train_0.png", "train_0_sg_rgb.exr", "train_0_envmap.exr",
-              "test_0.png"):
+              "test_0.png", "surface_0.obj"):
         assert os.path.exists(os.path.join(runner.plots_dir, f)), f
     import imageio.v2 as imageio
 
     H, W = runner.plot_dataset.img_res
     panel = imageio.imread(os.path.join(runner.plots_dir, "train_0.png"))
-    assert panel.shape == (3 * H, 3 * W, 3)  # 3x3 grid of views
+    # 4 rows: gt|sg|idr, diffuse|specular|normal, albedo|rough|spec, depth|--
+    assert panel.shape == (4 * H, 3 * W, 3)
+    # depth tile: hits darker than the white background, some variation
+    depth_tile = panel[3 * H :, :W]
+    assert depth_tile.min() < 250, "depth tile is blank"
+    # surface OBJ is a non-trivial mesh
+    with open(os.path.join(runner.plots_dir, "surface_0.obj")) as f:
+        txt = f.read()
+    assert txt.count("\nv ") + txt.startswith("v ") > 10
+    assert "f " in txt
 
 
 def test_pixel_pair_generator_class(scene_dir, tmp_path):
