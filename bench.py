@@ -1,5 +1,6 @@
 """Benchmark: path-traced render throughput at 512^2 on one TPU chip,
-plus the full training-step wall time at reference scale.
+plus the full training-step wall time at reference scale and the
+production anti-aliased render (num_rays=256).
 
 Renders a 512^2 novel view of the flagship NeFII-config model (8x512 SDF MLP,
 128-SG light, pt_render_indirect_mlp: 3-strategy MIS + secondary-ray tracing
@@ -12,12 +13,22 @@ accounting for neural-field renderers. The count is measured, not estimated:
 the tracer accumulates the number of SDF evaluations it actually executed
 (TraceResult.n_evals) inside the compiled step.
 
+EXACTNESS: every phase runs with compaction budgets sized so the runtime
+overflow counters (sampler/minsdf/shade/secondary) read ZERO — i.e. the
+measured computation is bit-equivalent to the dense reference semantics,
+and the JSON carries the counter totals as proof. (Round 2's 0.82 s/step
+used budgets that silently dropped ~13% of secondary rays and ~10% of
+fallback-sampler rays on this scene; those rays are now counted and paid
+for.)
+
 Target (BASELINE.md): >= 5M ray-samples/sec/chip.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -26,23 +37,52 @@ BASELINE = 5.0e6
 RES = 512
 CHUNK = 65536  # rays per launch
 
-
 T0 = time.perf_counter()
+# leave headroom inside the driver's time budget: phases that would start
+# after this many seconds are skipped (their JSON entry says so) rather
+# than risking a hard kill with no output at all. Overridable for long
+# validation runs (BENCH_DEADLINE_S=3600 python bench.py).
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 480.0))
+
+OVERFLOW_KEYS = (
+    "sampler_overflow", "minsdf_overflow", "shade_overflow",
+    "secondary_overflow",
+)
+
+
+def _setup_jax():
+    import jax
+
+    # persistent executable cache: repeat runs (and the driver's re-run)
+    # skip the multi-minute XLA compiles of the big MC-estimator programs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/nefii_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+    return jax
+
+
+def _time_left() -> float:
+    return DEADLINE_S - (time.perf_counter() - T0)
 
 
 def main():
-    import jax
+    jax = _setup_jax()
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_model
 
     model = _flagship_model()
-    # perf knobs: fallback-path budgets scale with the chunk; shade only the
-    # surviving-ray budget (object covers well under half the frame)
+    # fallback-path budgets sized for ZERO overflow on this scene (verified
+    # by the in-run counters below): the fallback sampler gets half the
+    # chunk, the min-SDF path runs DENSE (budget None) since most rays of a
+    # 512^2 frame miss the object — both exactly the reference's dense
+    # semantics. No shade compaction: every surviving ray is shaded.
     tracer = dataclasses.replace(
-        model.ray_tracer, sampler_budget=CHUNK // 8, minsdf_budget=CHUNK // 8
+        model.ray_tracer, sampler_budget=CHUNK // 2, minsdf_budget=None
     )
-    model = dataclasses.replace(model, ray_tracer=tracer, shade_fraction=0.5)
+    model = dataclasses.replace(model, ray_tracer=tracer)
 
     params = model.init_params(jax.random.PRNGKey(0))
 
@@ -66,13 +106,14 @@ def main():
             "pose": jnp.asarray(pose[None]),
         }
         out = model.forward(params, batch, key, training=False)
-        return out["sg_rgb_values"], out["n_sdf_evals"]
+        ovf = jnp.stack([out[k] for k in OVERFLOW_KEYS])
+        return out["sg_rgb_values"], out["n_sdf_evals"], ovf
 
     chunks = [jnp.asarray(uv_all[i * CHUNK : (i + 1) * CHUNK]) for i in range(n_chunks)]
     key = jax.random.PRNGKey(1)
 
     # warmup (compile + first execution)
-    rgb, ev = render_chunk(params, chunks[0], key)
+    rgb, ev, _ = render_chunk(params, chunks[0], key)
     rgb.block_until_ready()
 
     def one_image(trial):
@@ -82,56 +123,82 @@ def main():
             for i, c in enumerate(chunks)
         ]
         total = 0
-        for rgb, ev in outs:
+        ovf_total = np.zeros(len(OVERFLOW_KEYS), np.int64)
+        for rgb, ev, ovf in outs:
             rgb.block_until_ready()
             total += int(ev)
-        return total, time.perf_counter() - t0
+            ovf_total += np.asarray(ovf)
+        return total, ovf_total, time.perf_counter() - t0
 
     trials = [one_image(t) for t in range(3)]
     # steady-state: median throughput over full-image renders
-    rates = sorted(tot / secs for tot, secs in trials)
+    rates = sorted(tot / secs for tot, _, secs in trials)
     value = rates[len(rates) // 2]
+    ovf_max = np.max([ovf for _, ovf, _ in trials], axis=0)
+    render_overflow = {
+        k: int(v) for k, v in zip(OVERFLOW_KEYS, ovf_max) if v
+    } or 0
 
-    import sys as _sys
+    print(f"[bench] render metric done t={time.perf_counter()-T0:.0f}s "
+          f"(overflow={render_overflow})", file=sys.stderr)
 
-    print(f"[bench] render metric done t={time.perf_counter()-T0:.0f}s", file=_sys.stderr)
-    train_step_s = bench_train_step()
-    print(f"[bench] train step done t={time.perf_counter()-T0:.0f}s", file=_sys.stderr)
-    aa_fast, aa_exact = bench_aa_render()
-    print(f"[bench] aa render done t={time.perf_counter()-T0:.0f}s", file=_sys.stderr)
+    extra = []
+
+    if _time_left() > 60:
+        train_step_s, train_overflow = bench_train_step()
+        print(f"[bench] train step done t={time.perf_counter()-T0:.0f}s "
+              f"(overflow={train_overflow})", file=sys.stderr)
+        extra.append(
+            {
+                "metric": "train-step wall time, 2048px x 64 rays "
+                          "pt_render_indirect_mlp + freeze_geometry (robot "
+                          "run_s2 scale), EXACT semantics: compaction budgets "
+                          f"overflow-free in-run (counters={train_overflow}); "
+                          "vs_baseline = speedup over the 9.0 s/chip round-1 "
+                          "measurement (round-2's 0.82 dropped ~13% of "
+                          "secondary rays to budget overflow, now paid for)",
+                "value": round(train_step_s, 4),
+                "unit": "s/step/chip",
+                "vs_baseline": round(9.0 / train_step_s, 2),
+            }
+        )
+    else:
+        extra.append({"metric": "train-step (skipped: bench time budget)",
+                      "value": None, "unit": "s/step/chip", "vs_baseline": None})
+
+    if _time_left() > 60:
+        aa_fast, aa_exact, aa_overflow = bench_aa_render()
+        print(f"[bench] aa render done t={time.perf_counter()-T0:.0f}s "
+              f"(overflow={aa_overflow})", file=sys.stderr)
+        extra.append(
+            {
+                "metric": "production AA render (num_rays=256, render.sh:41) "
+                          "pixels/sec/chip with fast_multi_ray, overflow-free "
+                          f"budgets (counters={aa_overflow}); vs_baseline = "
+                          "speedup over exact per-ray shading "
+                          f"(fast_multi_ray off, {round(aa_exact, 1)} px/s)",
+                "value": round(aa_fast, 1),
+                "unit": "pixels/sec/chip",
+                "vs_baseline": round(aa_fast / aa_exact, 2),
+            }
+        )
+    else:
+        extra.append({"metric": "AA render (skipped: bench time budget)",
+                      "value": None, "unit": "pixels/sec/chip", "vs_baseline": None})
 
     print(
         json.dumps(
             {
-                "metric": "ray-samples (neural-SDF point queries)/sec/chip, 512^2 pt_render_indirect_mlp render",
+                "metric": "ray-samples (neural-SDF point queries)/sec/chip, "
+                          "512^2 pt_render_indirect_mlp render, overflow-free "
+                          f"budgets (counters={render_overflow})",
                 "value": round(value, 1),
                 "unit": "ray-samples/sec/chip",
                 "vs_baseline": round(value / BASELINE, 4),
-                "extra_metrics": [
-                    {
-                        "metric": "train-step wall time, 2048px x 64 rays "
-                                  "pt_render_indirect_mlp + freeze_geometry "
-                                  "(robot run_s2 scale); vs_baseline = speedup "
-                                  "over the 9.0 s/chip round-1 measurement",
-                        "value": round(train_step_s, 4),
-                        "unit": "s/step/chip",
-                        "vs_baseline": round(9.0 / train_step_s, 2),
-                    },
-                    {
-                        "metric": "production AA render (num_rays=256, "
-                                  "render.sh:41) pixels/sec/chip with "
-                                  "fast_multi_ray; vs_baseline = speedup over "
-                                  "exact per-ray shading (fast_multi_ray off, "
-                                  f"{round(aa_exact, 1)} px/s)",
-                        "value": round(aa_fast, 1),
-                        "unit": "pixels/sec/chip",
-                        "vs_baseline": round(aa_fast / aa_exact, 2),
-                    },
-                ],
+                "extra_metrics": extra,
             }
         )
     )
-
 
 
 _FIT_CACHE = {}
@@ -142,11 +209,15 @@ def fit_representative_geometry(model, params):
     three-sphere union, so trace cost is representative (see the NOTE in
     bench_train_step about data-dependent trace time). Fitted once per
     process (the three benchmark phases share the flagship implicit net)."""
-    if "implicit" in _FIT_CACHE:
-        return dict(params, implicit_network=_FIT_CACHE["implicit"])
     import jax
     import jax.numpy as jnp
     import optax
+
+    if "implicit" in _FIT_CACHE:
+        # hand out FRESH device arrays: the train-step phase donates its
+        # params, which would delete a shared cached tree under later phases
+        fresh = jax.tree_util.tree_map(jnp.asarray, _FIT_CACHE["implicit"])
+        return dict(params, implicit_network=fresh)
 
     centers = np.asarray(
         [[0.25, 0.0, 0.0], [-0.2, 0.15, 0.1], [0.0, -0.25, -0.15]], np.float32
@@ -189,9 +260,32 @@ def fit_representative_geometry(model, params):
         lambda c, xs: jax.lax.scan(geo_step, c, xs)
     )((p_imp, geo_tx.init(p_imp)), fit_pts)
     jax.block_until_ready(p_imp)
-    _FIT_CACHE["implicit"] = p_imp
+    # cache host-side so later phases survive donation of earlier ones
+    _FIT_CACHE["implicit"] = jax.tree_util.tree_map(np.asarray, p_imp)
     return dict(params, implicit_network=p_imp)
 
+
+def _exact_train_model():
+    """Flagship model at the reference's Step-2 scale with budgets sized for
+    zero overflow on the blobby bench scene (verified in-run): primary
+    fallback sampler needs ~29k of the 131k rays (budget 32768), the ONE
+    batched secondary trace (3 MIS strategies x 131k rays) needs ~59k
+    fallback-sampler slots (budget 65536). Secondary tracer keeps the
+    shipped reduced iteration counts (confs/conf.conf secondary_ray_tracer)."""
+    import dataclasses as dc
+
+    from __graft_entry__ import _flagship_model
+
+    model = _flagship_model()
+    tracer = dc.replace(
+        model.ray_tracer, sampler_budget=32768, minsdf_budget=16384,
+        sdf_chunk=2_097_152,
+    )
+    sec = dc.replace(
+        tracer, n_steps=50, n_rootfind_steps=16, sampler_budget=65536,
+        sphere_tracing_iters=5, line_step_iters=0,
+    )
+    return dc.replace(model, ray_tracer=tracer, secondary_ray_tracer=sec)
 
 
 def bench_aa_render():
@@ -202,21 +296,14 @@ def bench_aa_render():
     modes: exact per-ray shading (trace+shade all S*R rays) and
     fast_multi_ray (trace S mean rays, shade once, broadcast to R jittered
     MC sample sets — reference implicit_differentiable_renderer.py:552-569).
-    Returns (pixels/sec fast, pixels/sec exact)."""
-    import dataclasses as dc
-
+    Every surviving ray is shaded (no shade compaction) and the fallback
+    budgets are overflow-free (counters returned as proof).
+    Returns (pixels/sec fast, pixels/sec exact, max overflow count)."""
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_model
-
     S, R, W = 512, 256, 512
-    base = _flagship_model()
-    tracer = dc.replace(
-        base.ray_tracer, sampler_budget=16384, minsdf_budget=16384,
-        sdf_chunk=2_097_152,
-    )
-    base = dc.replace(base, ray_tracer=tracer, shade_fraction=0.5)
+    base = _exact_train_model()
     params = base.init_params(jax.random.PRNGKey(0))
     params = fit_representative_geometry(base, params)
 
@@ -233,8 +320,32 @@ def bench_aa_render():
     Kj, posej = jnp.asarray(K[None]), jnp.asarray(pose[None])
 
     rates = {}
+    overflow = 0
     for fast in (True, False):
+        import dataclasses as dc
+
         model = dc.replace(base, fast_multi_ray=fast)
+        if fast:
+            # fast_multi_ray traces only the S mean PRIMARY rays, so the
+            # primary budgets shrink to the ray count (trivially exact). The
+            # SECONDARY fan-out is NOT reduced — shading broadcasts to S*R
+            # points before the MC estimator, so 3 strategies x S*R = 393k
+            # secondary rays trace, needing ~59k fallback-sampler slots on
+            # this scene: keep the 65536 budget (counter-verified zero).
+            tr = dc.replace(model.ray_tracer, sampler_budget=1024,
+                            minsdf_budget=1024)
+            model = dc.replace(model, ray_tracer=tr)
+        else:
+            # eval-mode exact shading sends more rays down the fallback
+            # paths than the training step (every ray is shaded, so all
+            # 3x131k secondary rays trace): run min-SDF and the secondary
+            # fallback sampler DENSE — the reference's semantics — and give
+            # the primary sampler half the rays (counters verify zero)
+            tr = dc.replace(model.ray_tracer, sampler_budget=65536,
+                            minsdf_budget=None)
+            sec = dc.replace(model.secondary_ray_tracer, sampler_budget=None,
+                             minsdf_budget=None)
+            model = dc.replace(model, ray_tracer=tr, secondary_ray_tracer=sec)
 
         @jax.jit
         def render(params, uv, key):
@@ -243,48 +354,41 @@ def bench_aa_render():
                 {"uv": uv, "object_mask": mask, "intrinsics": Kj, "pose": posej},
                 key, training=False,
             )
-            return out["sg_rgb_values"]
+            ovf = jnp.stack([out[k] for k in OVERFLOW_KEYS])
+            return out["sg_rgb_values"], ovf
 
-        rgb = render(params, uv, jax.random.PRNGKey(0))
+        rgb, ovf = render(params, uv, jax.random.PRNGKey(0))
         rgb.block_until_ready()
+        ovf = {k: int(v) for k, v in zip(OVERFLOW_KEYS, np.asarray(ovf)) if v}
+        if ovf:
+            overflow = {**(overflow if isinstance(overflow, dict) else {}), **ovf}
         times = []
         for i in range(3):
             key = jax.random.PRNGKey(10 + i)
             t0 = time.perf_counter()
-            float(np.asarray(render(params, uv + i * 1e-4, key)).sum())
+            float(np.asarray(render(params, uv + i * 1e-4, key)[0]).sum())
             times.append(time.perf_counter() - t0)
         times.sort()
         rates[fast] = S / times[len(times) // 2]
-    return rates[True], rates[False]
+    return rates[True], rates[False], overflow
 
 
-def bench_train_step() -> float:
+def bench_train_step():
     """Median wall time of the full jitted training step (forward + loss +
     grads + both optimizers) at the reference's Step-2 scale
-    (robot/run_s2.sh:13-30: 2048 pixels x 64 rays, freeze_geometry)."""
-    import dataclasses as dc
-
+    (robot/run_s2.sh:13-30: 2048 pixels x 64 rays, freeze_geometry), at
+    EXACT semantics: every compaction budget overflow-free (counter totals
+    returned as proof). Returns (median s/step, overflow count)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from __graft_entry__ import _flagship_model
     from nefii_tpu.models.loss import IDRLoss
     from nefii_tpu.parallel import spmd
     from nefii_tpu.parallel.mesh import make_mesh
 
     S, R, W = 2048, 64, 512
-    model = _flagship_model()
-    tracer = dc.replace(
-        model.ray_tracer, sampler_budget=16384, minsdf_budget=16384,
-        sdf_chunk=2_097_152,
-    )
-    # shipped-conf secondary tracer (confs/conf.conf secondary_ray_tracer)
-    sec = dc.replace(
-        tracer, n_steps=50, n_rootfind_steps=16, sampler_budget=8192,
-        sphere_tracing_iters=5, line_step_iters=0,
-    )
-    model = dc.replace(model, ray_tracer=tracer, secondary_ray_tracer=sec)
+    model = _exact_train_model()
     params = model.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(1)
 
@@ -296,7 +400,6 @@ def bench_train_step() -> float:
     rng = np.random.RandomState(0)
     base_uv = rng.uniform(W * 0.3, W * 0.7, (1, S, 1, 2)).astype(np.float32)
     jitter = rng.uniform(-0.5, 0.5, (1, S, R, 2)).astype(np.float32)
-    import jax.numpy as jnp  # noqa: F811
 
     batch = {
         "uv": jnp.asarray(base_uv + jitter),
@@ -348,8 +451,9 @@ def bench_train_step() -> float:
         params = optax.apply_updates(params, idr_updates)
         sg_updates, sg_state = sg_tx.update(grads, sg_state, params)
         params = optax.apply_updates(params, sg_updates)
-        return params, idr_state, sg_state, ld["loss"]
+        return params, idr_state, sg_state, ld
 
+    overflow = 0
     with mesh:
         # donate params + optimizer states exactly like the real trainer step
         # (trainer.py jit donate_argnums=(0,1,2)) — without donation the two
@@ -359,22 +463,23 @@ def bench_train_step() -> float:
         # compile + 2 warmup executions (the first post-compile execution
         # includes one-time buffer/donation setup on the remote backend)
         for i in range(2):
-            params, idr_state, sg_state, l = step(
+            params, idr_state, sg_state, ld = step(
                 params, idr_state, sg_state, batch, gt, jax.random.PRNGKey(i),
                 jnp.float32(50.0),
             )
-            float(l)
+            float(ld["loss"])
+        overflow = sum(int(np.asarray(ld[k])) for k in OVERFLOW_KEYS if k in ld)
         times = []
         for i in range(3):
             t0 = time.perf_counter()
-            params, idr_state, sg_state, l = step(
+            params, idr_state, sg_state, ld = step(
                 params, idr_state, sg_state, batch, gt,
                 jax.random.PRNGKey(100 + i), jnp.float32(50.0),
             )
-            float(l)  # host readback forces remote completion
+            float(ld["loss"])  # host readback forces remote completion
             times.append(time.perf_counter() - t0)
     times.sort()
-    return times[len(times) // 2]
+    return times[len(times) // 2], overflow
 
 
 if __name__ == "__main__":

@@ -175,20 +175,44 @@ def make_eval_forward(
 ):
     """Shard-mapped eval forward: each chip renders its ray shard; outputs
     are reassembled along the ray axis (replacing render.py's pickled
-    dist.gather_object, reference idr_train.py:443-447)."""
+    dist.gather_object, reference idr_train.py:443-447). Budget-overflow
+    counters ride along as global (psum'd) scalars so render/vis callers can
+    warn when a compaction budget degraded rays."""
+
+    overflow_keys = (
+        "sampler_overflow", "minsdf_overflow", "shade_overflow",
+        "secondary_overflow",
+    )
 
     def local_fn(params, batch, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         out = model.forward(params, batch, key, training=False)
-        return {k: out[k] for k in output_keys}
+        res = {k: out[k] for k in output_keys}
+        for k in overflow_keys:
+            if out.get(k) is not None:
+                res[k] = jax.lax.psum(jnp.asarray(out[k], jnp.int32), axis_name)
+        return res
 
     def build(sample_batch):
         in_specs = (P(), batch_pspec(sample_batch, axis_name), P())
-        out_specs = {k: P(axis_name) for k in output_keys}
-        return shard_map(
-            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            
-        )
+
+        def wrapped(params, batch, key):
+            out_specs = {k: P(axis_name) for k in output_keys}
+            out_specs.update({k: P() for k in overflow_keys})
+            # probe which overflow keys the model actually emits so the
+            # out_specs match the traced outputs
+            shaped = jax.eval_shape(
+                lambda p, b, kk: model.forward(p, b, kk, training=False),
+                params, batch, key,
+            )
+            for k in overflow_keys:
+                if shaped.get(k) is None:
+                    out_specs.pop(k)
+            return shard_map(
+                local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            )(params, batch, key)
+
+        return wrapped
 
     return build
 

@@ -122,6 +122,8 @@ class RenderRunner:
 
         from nefii_tpu.parallel import dist
 
+        overflow = {}
+
         def forward(chunk):
             batch = {
                 "uv": np.asarray(chunk["uv"], np.float32),
@@ -133,10 +135,20 @@ class RenderRunner:
             if "fn" not in cache:
                 cache["fn"] = jax.jit(eval_build(batch))
             out = cache["fn"](self.params, batch, jax.random.PRNGKey(img_idx))
-            return {k: dist.to_host(v) for k, v in out.items()}
+            res = {}
+            for k, v in out.items():
+                if k.endswith("_overflow"):
+                    overflow[k] = overflow.get(k, 0) + int(dist.to_host(v))
+                else:
+                    res[k] = dist.to_host(v)
+            return res
 
         with self.mesh:
             out = utils.chunked_forward(forward, model_input, total, n_pix)
+        if any(overflow.values()) and self.is_main:
+            detail = ", ".join(f"{k}={v}" for k, v in overflow.items() if v)
+            print(f"[WARNING] view {img_idx}: compaction budget overflow "
+                  f"({detail}) — raise ray_tracer budgets for exact output")
         out["gt"] = np.asarray(ground_truth["rgb"][0])
         return out
 

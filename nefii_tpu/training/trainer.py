@@ -230,6 +230,9 @@ class IDRTrainRunner:
         self.plot_freq = self.conf.get_int("train.plot_freq")
         self.val_freq = self.conf.get_int("train.val_freq")
         self.ckpt_freq = self.conf.get_int("train.ckpt_freq")
+        self.auto_escalate_budgets = self.conf.get_bool(
+            "train.auto_escalate_budgets", default=True
+        )
         self.alpha_milestones = [
             int(a) for a in self.conf.get_list("train.alpha_milestones", default=[])
         ]
@@ -667,21 +670,70 @@ class IDRTrainRunner:
 
     def _check_overflow(self, loss_dict):
         """Warn when a compaction budget dropped rays this step (the budgets'
-        'exact while under budget' guarantee must be observable, not assumed).
-        Prints the first few occurrences, then throttles to log_freq."""
+        'exact while under budget' guarantee must be observable, not assumed),
+        and — with train.auto_escalate_budgets (default on) — DOUBLE the
+        overflowed budget and rebuild the jitted step, so training
+        self-corrects back to exact semantics. Static shapes stay static
+        within a compile; exactness is restored across compiles, bounded by
+        log2(ray count) recompiles per budget."""
         counts = {
             k: int(loss_dict[k]) for k in self._OVERFLOW_KEYS if k in loss_dict
         }
-        if not any(counts.values()) or not self.is_main:
+        if not any(counts.values()):
             return
-        self._overflow_events = getattr(self, "_overflow_events", 0) + 1
-        if self._overflow_events <= 5 or self.cur_iter % self.log_freq == 0:
-            detail = ", ".join(f"{k}={v}" for k, v in counts.items() if v)
+        if self.is_main:
+            self._overflow_events = getattr(self, "_overflow_events", 0) + 1
+            if self._overflow_events <= 5 or self.cur_iter % self.log_freq == 0:
+                detail = ", ".join(f"{k}={v}" for k, v in counts.items() if v)
+                print(
+                    f"[WARNING] compaction budget overflow at iter "
+                    f"{self.cur_iter}: {detail} rays degraded to defaults"
+                )
+        if self.auto_escalate_budgets:
+            # counters are psum'd (replicated), so every process escalates
+            # identically — no cross-host divergence
+            self._escalate_budgets(counts)
+
+    def _escalate_budgets(self, counts):
+        """Double each overflowed budget (capped at the ray count, where any
+        budget is trivially exact), invalidate the step cache, retrace."""
+        import dataclasses as dc
+
+        R = max(self.num_rays, 1)
+        n_local = -(-self.batch_size * self.num_pixels * R // self.world_size)
+        tracer = self.model.ray_tracer
+        sec = self.model.secondary_ray_tracer
+        changed = []
+        if counts.get("sampler_overflow") and tracer.sampler_budget:
+            nb = min(2 * tracer.sampler_budget, n_local)
+            if nb > tracer.sampler_budget:
+                tracer = dc.replace(tracer, sampler_budget=nb)
+                changed.append(f"sampler_budget->{nb}")
+        if counts.get("minsdf_overflow") and tracer.minsdf_budget:
+            nb = min(2 * tracer.minsdf_budget, n_local)
+            if nb > tracer.minsdf_budget:
+                tracer = dc.replace(tracer, minsdf_budget=nb)
+                changed.append(f"minsdf_budget->{nb}")
+        if counts.get("shade_overflow") and self.model.shade_fraction < 1.0:
+            nf = min(2.0 * self.model.shade_fraction, 1.0)
+            self.model = dc.replace(self.model, shade_fraction=nf)
+            changed.append(f"shade_fraction->{nf:g}")
+        if counts.get("secondary_overflow") and sec is not None and sec.sampler_budget:
+            nb = min(2 * sec.sampler_budget, 3 * n_local)
+            if nb > sec.sampler_budget:
+                sec = dc.replace(sec, sampler_budget=nb)
+                changed.append(f"secondary sampler_budget->{nb}")
+        if not changed:
+            return
+        self.model = dc.replace(
+            self.model, ray_tracer=tracer, secondary_ray_tracer=sec
+        )
+        self._step_cache.clear()
+        if self.is_main:
             print(
-                f"[WARNING] compaction budget overflow at iter {self.cur_iter}: "
-                f"{detail} rays silently degraded to defaults — raise "
-                f"sampler_budget/minsdf_budget/shade_fraction (or the "
-                f"secondary_ray_tracer budgets) for exact results"
+                f"[auto-escalate] budgets doubled after overflow at iter "
+                f"{self.cur_iter}: {', '.join(changed)} (one recompile; "
+                f"disable with train.auto_escalate_budgets=false)"
             )
 
     def log_scalars(self, epoch, loss_dict, mse2psnr, alpha):
@@ -816,7 +868,11 @@ class IDRTrainRunner:
             if "fn" not in fn_cache:
                 fn_cache["fn"] = jax.jit(eval_build(batch))
             out = fn_cache["fn"](self.params, batch, jax.random.PRNGKey(0))
-            return {k: dist.to_host(v) for k, v in out.items()}
+            # budget counters are global scalars, not per-ray outputs — keep
+            # them out of the chunk merge (vis tolerates overflow; training
+            # exactness is handled by _check_overflow/auto-escalation)
+            return {k: dist.to_host(v) for k, v in out.items()
+                    if not k.endswith("_overflow")}
 
         model_input = dict(model_input)
         if "pose" not in model_input:

@@ -96,3 +96,41 @@ def test_train_cameras_view_diff_exclusive(scene_dir, tmp_path):
             gamma=1.0, exps_folder_name=str(tmp_path / "exps"),
             train_cameras=True,
         )
+
+
+def test_budget_overflow_auto_escalates(scene_dir, tmp_path):
+    """When a compaction budget overflows, the trainer doubles it and
+    rebuilds the jitted step (train.auto_escalate_budgets, default on) —
+    exactness self-corrects instead of silently degrading rays. Budgets of
+    2 on the 16x16 sphere scene (64 pixels/step over the 8-device mesh)
+    overflow immediately; after escalation the budgets sit at the per-shard
+    ray count, where compaction is trivially exact."""
+    conf = parse_string(TRAIN_CONF)
+    conf.put("model.ray_tracer.sampler_budget", 2)
+    conf.put("model.ray_tracer.minsdf_budget", 2)
+    runner = IDRTrainRunner(
+        conf=conf, data_split_dir=scene_dir, data_split_dir_test=scene_dir,
+        gamma=1.0, exps_folder_name=str(tmp_path / "exps"), nepochs=1,
+        max_niters=6, secondary_train_interval=-1, memory_capacity_level=12,
+    )
+    assert runner.auto_escalate_budgets
+    assert runner.model.ray_tracer.minsdf_budget == 2
+    runner.run()
+    # the sphere scene has ~70% miss pixels -> the min-SDF path overflows a
+    # budget of 2 on every shard; escalation must have fired
+    assert runner.model.ray_tracer.minsdf_budget > 2
+    # cap: never beyond the per-shard ray count (64 pixels / 8 devices)
+    assert runner.model.ray_tracer.minsdf_budget <= 8
+
+    # and with escalation disabled the budgets stay put
+    conf2 = parse_string(TRAIN_CONF)
+    conf2.put("model.ray_tracer.sampler_budget", 2)
+    conf2.put("model.ray_tracer.minsdf_budget", 2)
+    conf2.put("train.auto_escalate_budgets", False)
+    runner2 = IDRTrainRunner(
+        conf=conf2, data_split_dir=scene_dir, data_split_dir_test=scene_dir,
+        gamma=1.0, exps_folder_name=str(tmp_path / "exps2"), nepochs=1,
+        max_niters=4, secondary_train_interval=-1, memory_capacity_level=12,
+    )
+    runner2.run()
+    assert runner2.model.ray_tracer.minsdf_budget == 2
