@@ -44,10 +44,7 @@ T0 = time.perf_counter()
 # validation runs (BENCH_DEADLINE_S=3600 python bench.py).
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 480.0))
 
-OVERFLOW_KEYS = (
-    "sampler_overflow", "minsdf_overflow", "shade_overflow",
-    "secondary_overflow",
-)
+from nefii_tpu.models.idr import OVERFLOW_KEYS
 
 
 def _setup_jax():

@@ -83,6 +83,15 @@ PT_RENDER_TYPES = {
     ),
 }
 
+# Budget-overflow counters emitted by forward_with_uv (and, for the
+# secondary-distillation step, forward_with_point): rays a compaction budget
+# silently degraded to defaults. Single source of truth — spmd (psum specs),
+# the trainer (warning + auto-escalation) and bench.py all import this.
+OVERFLOW_KEYS = (
+    "sampler_overflow", "minsdf_overflow", "shade_overflow",
+    "secondary_overflow",
+)
+
 
 @dataclass(frozen=True)
 class IDRNetwork:
@@ -591,6 +600,10 @@ class IDRNetwork:
         return {
             "idr_rgb_values": self.mean_pixel(ret["idr_rgb"], N, R),
             "sg_rgb_values": self.mean_pixel(ret["sg_rgb"], N, R),
+            # the distillation step's own secondary trace runs through the
+            # budgeted fallbacks too — surface its overflow so the trainer's
+            # counters/warning/auto-escalation see it (exact iff 0)
+            "secondary_overflow": ret.get("n_overflow", jnp.int32(0)),
         }
 
     # ------------------------------------------------------------------

@@ -31,6 +31,7 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+from nefii_tpu.models.idr import OVERFLOW_KEYS
 from nefii_tpu.parallel.mesh import RAY_AXIS
 
 # keys sharded along their pixel axis (axis 1 for [B,S,...], axis 0 for flat)
@@ -120,8 +121,7 @@ def make_grad_fn(
         # silently degraded to defaults this step — the trainer warns when
         # any are nonzero (the budgets' exactness claim must be observable)
         ld = dict(ld)
-        for k in ("sampler_overflow", "minsdf_overflow", "shade_overflow",
-                  "secondary_overflow"):
+        for k in OVERFLOW_KEYS:
             v = out.get(k)
             if v is not None:
                 ld[k] = jax.lax.psum(jnp.asarray(v, jnp.int32), axis_name)
@@ -179,10 +179,7 @@ def make_eval_forward(
     counters ride along as global (psum'd) scalars so render/vis callers can
     warn when a compaction budget degraded rays."""
 
-    overflow_keys = (
-        "sampler_overflow", "minsdf_overflow", "shade_overflow",
-        "secondary_overflow",
-    )
+    overflow_keys = OVERFLOW_KEYS
 
     def local_fn(params, batch, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
@@ -244,10 +241,17 @@ def make_point_grad_fn(
             diff = jnp.abs(out["sg_rgb_values"] - out["idr_rgb_values"])
             num = jax.lax.psum((diff * valid[:, None]).sum(), axis_name)
             den = jax.lax.psum(valid.sum() * 3.0, axis_name)
-            return jnp.where(den > 0, num / jnp.clip(den, 1.0), 0.0)
+            loss = jnp.where(den > 0, num / jnp.clip(den, 1.0), 0.0)
+            ovf = jax.lax.psum(
+                jnp.asarray(out.get("secondary_overflow", 0), jnp.int32),
+                axis_name,
+            )
+            return loss, ovf
 
-        l, grads = jax.value_and_grad(loss_fn)(params)
-        return l, grads
+        (l, ovf), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # dict return keeps the (ld, grads) 2-tuple shape callers unpack;
+        # the distillation trace's budget overflow must be observable too
+        return {"loss": l, "secondary_overflow": ovf}, grads
 
     def build():
         in_specs = (P(), {"points": P(axis_name), "ray_dirs": P(axis_name)}, P(axis_name), P())

@@ -35,6 +35,7 @@ import numpy as np
 import optax
 
 from nefii_tpu.config import ConfigFactory, ConfigTree, get_class
+from nefii_tpu.models.idr import OVERFLOW_KEYS
 from nefii_tpu.models.loss import IDRLoss
 from nefii_tpu.parallel import dist, spmd
 from nefii_tpu.parallel.mesh import make_mesh, shard_batch
@@ -654,19 +655,19 @@ class IDRTrainRunner:
         batch = dist.make_global_batch(self.mesh, batch, spmd.batch_pspec(batch))
         valid_g = dist.make_global_array(self.mesh, valid_np, spmd.P(spmd.RAY_AXIS))
         step = self._get_secondary_step(fake_r, fake_s)
-        (self.params, self.idr_opt_state, self.sg_opt_state, l) = step(
+        (self.params, self.idr_opt_state, self.sg_opt_state, ld) = step(
             self.params, self.idr_opt_state, self.sg_opt_state,
             batch, valid_g, key,
         )
+        # the distillation trace runs through the budgeted fallbacks too —
+        # its overflow feeds the same warning/auto-escalation path
+        self._check_overflow(ld)
         if self.is_main and self.cur_iter % 50 == 0:
             print(f"\tsecondary_num={int(valid_np.sum())}/{int(mask.sum())}, "
-                  f"secondary_loss = {float(l):.6f}")
+                  f"secondary_loss = {float(ld['loss']):.6f}")
 
     # ------------------------------------------------------------------
-    _OVERFLOW_KEYS = (
-        "sampler_overflow", "minsdf_overflow", "shade_overflow",
-        "secondary_overflow",
-    )
+    _OVERFLOW_KEYS = OVERFLOW_KEYS
 
     def _check_overflow(self, loss_dict):
         """Warn when a compaction budget dropped rays this step (the budgets'
