@@ -132,8 +132,9 @@ def main(prediction_dir: str, gt_path: str, out_path: Optional[str] = None):
                 # reference evaluate.py:116,154 reports LPIPS-alex; the
                 # pretrained weights cannot be fetched offline — say so
                 # explicitly instead of silently omitting the row
-                lines.append(f"{item}.{metric}: unavailable "
-                             "(lpips package / AlexNet weights not installed)")
+                lines.append(f"{item}.{metric}: unavailable (supply AlexNet "
+                             "weights via $NEFII_LPIPS_WEIGHTS — see "
+                             "utils/lpips_jax.py)")
             else:
                 lines.append(f"{item}.{metric}: {mean:.6f}")
     report = "\n".join(lines)

@@ -1,0 +1,187 @@
+"""Pure-JAX LPIPS (AlexNet variant) for offline evaluation.
+
+The reference evaluates LPIPS-alex via the `lpips` torch package
+(reference scripts/evaluate.py:116,154), whose pretrained weights are
+downloaded at first use — impossible in an offline deployment. This module
+re-implements the LPIPS forward (Zhang et al., CVPR 2018: unit-normalized
+AlexNet features, squared difference, learned 1x1 per-layer weights,
+spatial average, layer sum) in JAX, loading weights the USER supplies:
+
+  * a torch checkpoint of the full `lpips.LPIPS(net="alex")` module
+    (state dict with `net.slice*` + `lin*.model.1.weight` keys),
+  * a directory holding a torchvision `alexnet` state dict
+    (`features.*` keys) plus the lpips linear-head file
+    (`lin*.model.1.weight` keys, the package's `weights/v0.1/alex.pth`),
+  * or an `.npz` with the canonical keys produced by `save_npz`.
+
+Compute runs through `jax.lax.conv_general_dilated` / `reduce_window`, so
+the metric itself executes on the accelerator. Numeric semantics
+(conv/pool/normalize) are pinned against torch.nn.functional in
+tests/test_tools.py with random weights.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+# Torchvision AlexNet feature stack (conv params: out_ch, kernel, stride, pad)
+# with ReLU after every conv; 3x3/2 max-pools after conv1 and conv2. LPIPS
+# taps the five post-ReLU feature maps.
+_CONVS = (
+    (64, 11, 4, 2),
+    (192, 5, 1, 2),
+    (384, 3, 1, 1),
+    (256, 3, 1, 1),
+    (256, 3, 1, 1),
+)
+_POOL_AFTER = (0, 1)  # max-pool follows conv index 0 and 1
+# lpips.ScalingLayer constants (inputs in [-1, 1])
+_SHIFT = np.asarray([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.asarray([0.458, 0.448, 0.450], np.float32)
+# torchvision layer indices of the convs inside `features`, used both by
+# `features.{i}.weight` checkpoints and lpips `net.slice{k}.{i}.weight` keys
+_TV_IDX = (0, 3, 6, 8, 10)
+
+
+def _canon_from_torch_state(state) -> Dict[str, np.ndarray]:
+    """Accepts a full-LPIPS, torchvision-alexnet, or lins-only state dict
+    (torch tensors or arrays); returns whatever canonical entries it holds."""
+    out: Dict[str, np.ndarray] = {}
+
+    def to_np(v):
+        return np.asarray(getattr(v, "detach", lambda: v)().cpu().numpy()
+                          if hasattr(v, "cpu") else v, np.float32)
+
+    for k, v in state.items():
+        base = k.split("module.", 1)[-1]
+        for ci, tv in enumerate(_TV_IDX):
+            for attr in ("weight", "bias"):
+                if base.endswith(f"slice{ci + 1}.{tv}.{attr}") or \
+                        base == f"features.{tv}.{attr}":
+                    out[f"conv{ci}_{attr[0]}"] = to_np(v)
+        for li in range(5):
+            if base == f"lin{li}.model.1.weight" or \
+                    base.endswith(f"lins.{li}.model.1.weight"):
+                out[f"lin{li}"] = to_np(v).reshape(-1)
+    return out
+
+
+def load_weights(path: str) -> Dict[str, np.ndarray]:
+    """Load LPIPS-alex weights from `path` (see module docstring)."""
+    canon: Dict[str, np.ndarray] = {}
+    if os.path.isdir(path):
+        files = [os.path.join(path, f) for f in sorted(os.listdir(path))
+                 if f.endswith((".pth", ".pt", ".npz"))]
+    else:
+        files = [path]
+    for f in files:
+        if f.endswith(".npz"):
+            canon.update({k: np.asarray(v, np.float32)
+                          for k, v in np.load(f).items()})
+        else:
+            import torch  # loading .pth requires torch (cpu build is fine)
+
+            state = torch.load(f, map_location="cpu", weights_only=True)
+            if hasattr(state, "state_dict"):
+                state = state.state_dict()
+            canon.update(_canon_from_torch_state(state))
+
+    missing = [k for k in
+               [f"conv{i}_{a}" for i in range(5) for a in "wb"]
+               + [f"lin{i}" for i in range(5)]
+               if k not in canon]
+    if missing:
+        raise ValueError(
+            f"LPIPS weights at {path!r} are incomplete: missing {missing}. "
+            "Provide a full lpips.LPIPS state dict, or a directory with a "
+            "torchvision alexnet state dict plus the lpips lin-head file."
+        )
+    for i, (c_out, k, _, _) in enumerate(_CONVS):
+        w = canon[f"conv{i}_w"]
+        if w.shape[0] != c_out or w.shape[-1] != k:
+            raise ValueError(
+                f"conv{i} weight shape {w.shape} does not match AlexNet "
+                f"({c_out} out-channels, {k}x{k} kernel)"
+            )
+    return canon
+
+
+def save_npz(weights: Dict[str, np.ndarray], path: str) -> None:
+    np.savez(path, **weights)
+
+
+def _features(weights, x):
+    """x: [N,3,H,W] in [-1,1] → list of 5 post-ReLU feature maps."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    x = (x - jnp.asarray(_SHIFT)[:, None, None]) / \
+        jnp.asarray(_SCALE)[:, None, None]
+    feats = []
+    for i, (_, _, stride, pad) in enumerate(_CONVS):
+        w = jnp.asarray(weights[f"conv{i}_w"])
+        b = jnp.asarray(weights[f"conv{i}_b"])
+        x = lax.conv_general_dilated(
+            x, w, window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        ) + b[None, :, None, None]
+        x = jnp.maximum(x, 0.0)
+        feats.append(x)
+        if i in _POOL_AFTER:
+            x = lax.reduce_window(
+                x, -jnp.inf, lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+                "VALID",
+            )
+    return feats
+
+
+def _lpips_fwd(weights, a, b):
+    import jax.numpy as jnp
+
+    fa, fb = _features(weights, a), _features(weights, b)
+    total = 0.0
+    for i, (x, y) in enumerate(zip(fa, fb)):
+        nx = x * (jnp.sum(x * x, 1, keepdims=True) ** 0.5 + 1e-10) ** -1
+        ny = y * (jnp.sum(y * y, 1, keepdims=True) ** 0.5 + 1e-10) ** -1
+        d = (nx - ny) ** 2
+        lin = jnp.asarray(weights[f"lin{i}"])
+        total = total + jnp.mean(
+            jnp.sum(d * lin[None, :, None, None], axis=1), axis=(-2, -1)
+        )
+    return total
+
+
+_JIT = None
+
+
+def lpips_distance(weights: Dict[str, np.ndarray], pred: np.ndarray,
+                   gt: np.ndarray) -> float:
+    """LPIPS-alex distance between HWC float images in [0, 1]."""
+    global _JIT
+    import jax
+    import jax.numpy as jnp
+
+    if _JIT is None:
+        # weights ride as a pytree argument, so one compile per image shape
+        # serves every weight set
+        _JIT = jax.jit(_lpips_fwd)
+    a = jnp.moveaxis(jnp.asarray(pred, jnp.float32), -1, 0)[None] * 2 - 1
+    b = jnp.moveaxis(jnp.asarray(gt, jnp.float32), -1, 0)[None] * 2 - 1
+    return float(_JIT(weights, a, b)[0])
+
+
+_CACHE: Dict[str, Dict[str, np.ndarray]] = {}
+
+
+def lpips_from_path(pred: np.ndarray, gt: np.ndarray,
+                    weights_path: Optional[str]) -> float:
+    wp = weights_path or os.environ.get("NEFII_LPIPS_WEIGHTS")
+    if not wp:
+        raise FileNotFoundError("no LPIPS weights path given")
+    if wp not in _CACHE:
+        _CACHE[wp] = load_weights(wp)
+    return lpips_distance(_CACHE[wp], pred, gt)

@@ -106,7 +106,20 @@ def ms_ssim(pred: np.ndarray, gt: np.ndarray, data_range: float = 1.0) -> float:
 
 
 def lpips(pred: np.ndarray, gt: np.ndarray, weights_path: Optional[str] = None) -> float:
-    """LPIPS-alex. Needs pretrained weights (no network egress here)."""
+    """LPIPS-alex (reference scripts/evaluate.py:116,154).
+
+    Runs on the JAX implementation (utils/lpips_jax.py) when pretrained
+    weights are supplied — via `weights_path` or $NEFII_LPIPS_WEIGHTS —
+    since pretrained AlexNet cannot be downloaded offline. Falls back to
+    the torch `lpips` package if it happens to be installed."""
+    from nefii_tpu.utils import lpips_jax
+
+    try:
+        return lpips_jax.lpips_from_path(pred, gt, weights_path)
+    except FileNotFoundError:
+        pass  # no weights supplied — try the torch package below
+    except Exception as e:
+        raise RuntimeError(f"LPIPS weights failed to load: {e}")
     try:
         import lpips as lpips_pkg  # pragma: no cover
         import torch
@@ -119,7 +132,8 @@ def lpips(pred: np.ndarray, gt: np.ndarray, weights_path: Optional[str] = None) 
         # failing offline (URLError/OSError from torchvision) — callers catch
         # RuntimeError and report "lpips: unavailable" instead of crashing
         raise RuntimeError(
-            "LPIPS requires the `lpips` package with pretrained AlexNet weights, "
-            "which are unavailable in this offline environment "
+            "LPIPS needs pretrained AlexNet weights: pass weights_path / set "
+            "$NEFII_LPIPS_WEIGHTS (JAX implementation, utils/lpips_jax.py), "
+            "or install the `lpips` package with its downloaded weights "
             f"({type(e).__name__}: {e}). PSNR/SSIM/MS-SSIM are reported instead."
         )

@@ -145,3 +145,129 @@ def test_debug_helper_watches():
     assert "x/value" in rec and "x/grad" in rec
     assert abs(rec["x/value"]["mean"] - 2.0) < 1e-6
     dbg.set_debug(False)
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (JAX implementation, torch-pinned semantics)
+# ---------------------------------------------------------------------------
+
+def _random_lpips_torch_state(rng):
+    """Random weights in the lpips.LPIPS(net='alex') state-dict layout."""
+    import torch
+
+    tv_idx = (0, 3, 6, 8, 10)
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    state = {}
+    for i, (tv, shp) in enumerate(zip(tv_idx, shapes)):
+        state[f"net.slice{i + 1}.{tv}.weight"] = torch.tensor(
+            rng.randn(*shp).astype(np.float32) * 0.05)
+        state[f"net.slice{i + 1}.{tv}.bias"] = torch.tensor(
+            rng.randn(shp[0]).astype(np.float32) * 0.1)
+        state[f"lin{i}.model.1.weight"] = torch.tensor(
+            np.abs(rng.randn(1, shp[0], 1, 1)).astype(np.float32))
+    return state
+
+
+def _lpips_torch_reference(state, a_np, b_np):
+    """Independent torch.nn.functional forward of the LPIPS-alex formula
+    (scaling layer -> AlexNet features -> channel-unit-normalize -> squared
+    diff -> 1x1 lin weights -> spatial mean -> layer sum)."""
+    import torch
+    import torch.nn.functional as F
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    tv_idx = (0, 3, 6, 8, 10)
+    convs = [(4, 2), (1, 2), (1, 1), (1, 1), (1, 1)]
+
+    def feats(x):
+        x = (x - shift) / scale
+        out = []
+        for i, ((stride, pad), tv) in enumerate(zip(convs, tv_idx)):
+            x = F.conv2d(x, state[f"net.slice{i + 1}.{tv}.weight"],
+                         state[f"net.slice{i + 1}.{tv}.bias"],
+                         stride=stride, padding=pad)
+            x = F.relu(x)
+            out.append(x)
+            if i in (0, 1):
+                x = F.max_pool2d(x, 3, 2)
+        return out
+
+    a = torch.tensor(np.moveaxis(a_np, -1, 0)[None]) * 2 - 1
+    b = torch.tensor(np.moveaxis(b_np, -1, 0)[None]) * 2 - 1
+    total = 0.0
+    for i, (x, y) in enumerate(zip(feats(a), feats(b))):
+        nx = x / (x.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        ny = y / (y.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        d = (nx - ny).pow(2) * state[f"lin{i}.model.1.weight"]
+        total = total + d.sum(1).mean()
+    return float(total)
+
+
+def test_lpips_jax_matches_torch_semantics(tmp_path):
+    """The JAX LPIPS pipeline (conv strides/padding, max-pool, channel
+    normalization, lin heads) must match a torch.nn.functional forward of
+    the same architecture bit-for-tolerance on random weights — so when a
+    user supplies real pretrained weights, the metric is the reference's."""
+    import torch
+
+    from nefii_tpu.utils import lpips_jax
+
+    rng = np.random.RandomState(0)
+    state = _random_lpips_torch_state(rng)
+    ckpt = tmp_path / "lpips_full.pth"
+    torch.save(state, str(ckpt))
+
+    a = rng.rand(96, 80, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(96, 80, 3).astype(np.float32) * 0.1, 0, 1)
+
+    want = _lpips_torch_reference(state, a, b)
+    weights = lpips_jax.load_weights(str(ckpt))
+    got = lpips_jax.lpips_distance(weights, a, b)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    # identical images -> zero distance (up to XLA fusion reassociation)
+    assert lpips_jax.lpips_distance(weights, a, a) < 1e-10
+
+    # metrics.lpips routes through the JAX path when weights are supplied
+    got2 = metrics.lpips(a, b, weights_path=str(ckpt))
+    np.testing.assert_allclose(got2, got, rtol=1e-5)
+
+
+def test_lpips_weights_loading_variants(tmp_path):
+    """Directory layout (torchvision alexnet body + lpips lin heads as two
+    files) and npz round-trip both load; incomplete weights raise."""
+    import torch
+
+    from nefii_tpu.utils import lpips_jax
+
+    rng = np.random.RandomState(1)
+    state = _random_lpips_torch_state(rng)
+    tv_idx = (0, 3, 6, 8, 10)
+    body = {}
+    lins = {}
+    for i, tv in enumerate(tv_idx):
+        body[f"features.{tv}.weight"] = state[f"net.slice{i + 1}.{tv}.weight"]
+        body[f"features.{tv}.bias"] = state[f"net.slice{i + 1}.{tv}.bias"]
+        lins[f"lin{i}.model.1.weight"] = state[f"lin{i}.model.1.weight"]
+    d = tmp_path / "weights"
+    d.mkdir()
+    torch.save(body, str(d / "alexnet.pth"))
+    torch.save(lins, str(d / "alex_lins.pth"))
+
+    w_dir = lpips_jax.load_weights(str(d))
+    full = tmp_path / "full.pth"
+    torch.save(state, str(full))
+    w_full = lpips_jax.load_weights(str(full))
+    for k in w_full:
+        np.testing.assert_array_equal(w_dir[k], w_full[k])
+
+    npz = tmp_path / "w.npz"
+    lpips_jax.save_npz(w_full, str(npz))
+    w_npz = lpips_jax.load_weights(str(npz))
+    for k in w_full:
+        np.testing.assert_array_equal(w_npz[k], w_full[k])
+
+    with pytest.raises(ValueError, match="incomplete"):
+        lpips_jax.load_weights(str(d / "alex_lins.pth"))
