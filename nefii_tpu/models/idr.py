@@ -89,7 +89,7 @@ PT_RENDER_TYPES = {
 # the trainer (warning + auto-escalation) and bench.py all import this.
 OVERFLOW_KEYS = (
     "sampler_overflow", "minsdf_overflow", "shade_overflow",
-    "secondary_overflow",
+    "secondary_overflow", "trace_overflow",
 )
 
 
@@ -295,7 +295,7 @@ class IDRNetwork:
             )
             return (
                 res.points, res.object_mask, res.dists, res.n_evals,
-                res.sampler_overflow + res.minsdf_overflow,
+                res.sampler_overflow + res.minsdf_overflow + res.trace_overflow,
             )
 
         return ptr.SceneFns(
@@ -547,6 +547,7 @@ class IDRNetwork:
             "minsdf_overflow": trace_res.minsdf_overflow,
             "shade_overflow": shade_overflow,
             "secondary_overflow": ret.get("n_overflow", jnp.int32(0)),
+            "trace_overflow": trace_res.trace_overflow,
         }
 
         if multi_ray and not self.fast_multi_ray:

@@ -27,7 +27,6 @@ jittable (SURVEY.md §7.4 item 3).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -62,6 +61,10 @@ class TraceResult(NamedTuple):
     # degraded those rays to defaults — results are exact iff both are 0.
     sampler_overflow: Any = 0
     minsdf_overflow: Any = 0
+    # live rays the mid-trace compaction could not fit in compact_budget:
+    # they stop iterating at compact_after and fall through to the sampler
+    # (still counted — results are exact iff 0)
+    trace_overflow: Any = 0
 
 
 @dataclass(frozen=True)
@@ -77,6 +80,16 @@ class RayTracer:
     sampler_budget: Optional[int] = None   # static cap on rays taking the 100-step path
     minsdf_budget: Optional[int] = None    # static cap on rays taking the min-SDF path
     rootfind_method: str = "bisection"     # "bisection" | "secant" (reference :259-307)
+    # Mid-trace live-ray compaction: the dense masked trace evaluates the SDF
+    # on ALL rays every iteration even after most converge (live fraction
+    # measured ~20-30% after 2 iterations on trained geometry). With both set,
+    # iterations [0, compact_after) run dense over all N rays, then the still-
+    # live rays are gathered (live-first argsort) into a [compact_budget]
+    # batch for the remaining iterations and scattered back. Exact whenever
+    # the live count fits the budget; overflow rays stop at their phase-1
+    # state, flow to the fallback sampler, and are COUNTED (trace_overflow).
+    compact_after: Optional[int] = None
+    compact_budget: Optional[int] = None
 
     # ------------------------------------------------------------------
     def __call__(
@@ -103,15 +116,20 @@ class RayTracer:
         mask_intersect = mask_intersect.reshape(N)
         object_mask = object_mask.reshape(N)
 
-        # sphere_trace_fn: optional fused whole-trace kernel with the exact
-        # output contract of _sphere_trace (ops/pallas/fused_trace.py); the
-        # fallback sampler / min-SDF paths below still use sdf_fn.
-        trace_impl = sphere_trace_fn if sphere_trace_fn is not None else partial(
-            self._sphere_trace, sdf_fn
-        )
-        (acc_start, acc_end, unfinished_start, min_dis, max_dis, n_evals) = trace_impl(
-            cam, dirs, mask_intersect, near, far
-        )
+        # sphere_trace_fn: optional fused whole-trace kernel with the 6-output
+        # contract of the dense trace (ops/pallas/fused_trace.py); the
+        # fallback sampler / min-SDF paths below still use sdf_fn. Mid-trace
+        # compaction applies only to the jnp trace (the kernel already skips
+        # converged rays in-kernel).
+        if sphere_trace_fn is not None:
+            (acc_start, acc_end, unfinished_start, min_dis, max_dis,
+             n_evals) = sphere_trace_fn(cam, dirs, mask_intersect, near, far)
+            trace_overflow = jnp.int32(0)
+        else:
+            (acc_start, acc_end, unfinished_start, min_dis, max_dis, n_evals,
+             trace_overflow) = self._sphere_trace(
+                sdf_fn, cam, dirs, mask_intersect, near, far
+            )
 
         network_object_mask = acc_start < acc_end
         dists = acc_start
@@ -130,7 +148,8 @@ class RayTracer:
 
         if not training:
             return TraceResult(
-                points, network_object_mask, dists, n_evals, sampler_overflow
+                points, network_object_mask, dists, n_evals, sampler_overflow,
+                trace_overflow=trace_overflow,
             )
 
         # ---- training extras: min-SDF points for the mask loss -------------
@@ -157,21 +176,19 @@ class RayTracer:
         points = cam + dists[:, None] * dirs
         return TraceResult(
             points, network_object_mask, dists, n_evals,
-            sampler_overflow, minsdf_overflow,
+            sampler_overflow, minsdf_overflow, trace_overflow,
         )
 
     # ------------------------------------------------------------------
-    def _sphere_trace(self, sdf_fn, cam, dirs, mask_intersect, near, far):
-        """Bidirectional sphere tracing (reference ray_tracing.py:104-193)."""
+    def _trace_phase(self, sdf_fn, cam, dirs, state, max_iter):
+        """Run bidirectional trace iterations on `state` until `max_iter`.
+
+        state = (it, curr_s, curr_e, unf_s, unf_e, acc_s, acc_e, n_ev); every
+        per-ray entry matches cam/dirs' leading dim, so the same loop serves
+        both the dense phase and the compacted live-ray phase.
+        """
         N = cam.shape[0]
         thresh = self.sdf_threshold
-
-        acc_start = jnp.where(mask_intersect, near, 0.0)
-        acc_end = jnp.where(mask_intersect, far, 0.0)
-        min_dis, max_dis = acc_start, acc_end
-
-        unf_s = mask_intersect
-        unf_e = mask_intersect
 
         def masked_sdf_both(acc_s, acc_e, m_s, m_e):
             pts = jnp.concatenate(
@@ -180,9 +197,6 @@ class RayTracer:
             sd = eval_chunked(sdf_fn, pts, self.sdf_chunk)
             return jnp.where(m_s, sd[:N], 0.0), jnp.where(m_e, sd[N:], 0.0)
 
-        next_s, next_e = masked_sdf_both(acc_start, acc_end, unf_s, unf_e)
-        n_evals0 = jnp.int32(2 * N)
-
         def head(unf_s, unf_e, next_s, next_e):
             curr_s = jnp.where(unf_s, next_s, 0.0)
             curr_s = jnp.where(curr_s <= thresh, 0.0, curr_s)
@@ -190,11 +204,9 @@ class RayTracer:
             curr_e = jnp.where(curr_e <= thresh, 0.0, curr_e)
             return curr_s, curr_e, unf_s & (curr_s > thresh), unf_e & (curr_e > thresh)
 
-        curr_s, curr_e, unf_s, unf_e = head(unf_s, unf_e, next_s, next_e)
-
         def cond(state):
             it, curr_s, curr_e, unf_s, unf_e, *_ = state
-            return (jnp.any(unf_s) | jnp.any(unf_e)) & (it < self.sphere_tracing_iters)
+            return (jnp.any(unf_s) | jnp.any(unf_e)) & (it < max_iter)
 
         def body(state):
             it, curr_s, curr_e, unf_s, unf_e, acc_s, acc_e, n_ev = state
@@ -232,9 +244,81 @@ class RayTracer:
             curr_s, curr_e, unf_s, unf_e = head(unf_s, unf_e, next_s, next_e)
             return it + 1, curr_s, curr_e, unf_s, unf_e, acc_s, acc_e, n_ev
 
-        state = (jnp.int32(0), curr_s, curr_e, unf_s, unf_e, acc_start, acc_end, n_evals0)
-        _, _, _, unf_s, unf_e, acc_start, acc_end, n_evals = jax.lax.while_loop(cond, body, state)
-        return acc_start, acc_end, unf_s, min_dis, max_dis, n_evals
+        return jax.lax.while_loop(cond, body, state)
+
+    def _sphere_trace(self, sdf_fn, cam, dirs, mask_intersect, near, far):
+        """Bidirectional sphere tracing (reference ray_tracing.py:104-193).
+
+        With compact_after/compact_budget set, iterations are split into a
+        dense phase over all rays and a compacted phase over the still-live
+        subset (see the dataclass field comment); results are identical to
+        the dense trace whenever the live count fits the budget, and the
+        shortfall is counted in the returned overflow."""
+        N = cam.shape[0]
+        T = self.sphere_tracing_iters
+
+        acc_start = jnp.where(mask_intersect, near, 0.0)
+        acc_end = jnp.where(mask_intersect, far, 0.0)
+        min_dis, max_dis = acc_start, acc_end
+
+        unf_s = mask_intersect
+        unf_e = mask_intersect
+
+        compact = (
+            self.compact_after is not None
+            and self.compact_budget is not None
+            and self.compact_budget < N
+            and self.compact_after < T
+        )
+        k1 = self.compact_after if compact else T
+
+        # initial SDF eval + head
+        thresh = self.sdf_threshold
+        pts0 = jnp.concatenate(
+            [cam + acc_start[:, None] * dirs, cam + acc_end[:, None] * dirs],
+            axis=0,
+        )
+        sd0 = eval_chunked(sdf_fn, pts0, self.sdf_chunk)
+        next_s = jnp.where(unf_s, sd0[:N], 0.0)
+        next_e = jnp.where(unf_e, sd0[N:], 0.0)
+        curr_s = jnp.where(unf_s, next_s, 0.0)
+        curr_s = jnp.where(curr_s <= thresh, 0.0, curr_s)
+        curr_e = jnp.where(unf_e, next_e, 0.0)
+        curr_e = jnp.where(curr_e <= thresh, 0.0, curr_e)
+        state = (
+            jnp.int32(0), curr_s, curr_e,
+            unf_s & (curr_s > thresh), unf_e & (curr_e > thresh),
+            acc_start, acc_end, jnp.int32(2 * N),
+        )
+
+        state = self._trace_phase(sdf_fn, cam, dirs, state, k1)
+        it, curr_s, curr_e, unf_s, unf_e, acc_s, acc_e, n_evals = state
+
+        if not compact:
+            return acc_s, acc_e, unf_s, min_dis, max_dis, n_evals, jnp.int32(0)
+
+        # ---- compacted phase: gather still-live rays, iterate, scatter ----
+        M = self.compact_budget
+        live = unf_s | unf_e
+        overflow = jnp.maximum(live.sum().astype(jnp.int32) - M, 0)
+        order = jnp.argsort(~live, stable=True)
+        sel = order[:M]
+
+        sub_state = (
+            it, curr_s[sel], curr_e[sel], unf_s[sel], unf_e[sel],
+            acc_s[sel], acc_e[sel], n_evals,
+        )
+        sub_state = self._trace_phase(sdf_fn, cam[sel], dirs[sel], sub_state, T)
+        _, _, _, sub_unf_s, sub_unf_e, sub_acc_s, sub_acc_e, n_evals = sub_state
+
+        # overflow rays keep their phase-1 state (still unfinished -> they
+        # fall through to the sampler, like rays the dense trace never
+        # converged on); compacted rays get their phase-2 results
+        acc_s = acc_s.at[sel].set(sub_acc_s)
+        acc_e = acc_e.at[sel].set(sub_acc_e)
+        unf_s = unf_s.at[sel].set(sub_unf_s)
+        unf_e = unf_e.at[sel].set(sub_unf_e)
+        return acc_s, acc_e, unf_s, min_dis, max_dis, n_evals, overflow
 
     # ------------------------------------------------------------------
     def _ray_sampler(

@@ -719,11 +719,39 @@ class IDRTrainRunner:
             nf = min(2.0 * self.model.shade_fraction, 1.0)
             self.model = dc.replace(self.model, shade_fraction=nf)
             changed.append(f"shade_fraction->{nf:g}")
-        if counts.get("secondary_overflow") and sec is not None and sec.sampler_budget:
-            nb = min(2 * sec.sampler_budget, 3 * n_local)
-            if nb > sec.sampler_budget:
-                sec = dc.replace(sec, sampler_budget=nb)
-                changed.append(f"secondary sampler_budget->{nb}")
+        if counts.get("secondary_overflow"):
+            # the secondary counter pools sampler/min-SDF/trace-compaction
+            # overflow, so double every budgeted secondary knob (bounded by
+            # log2 recompiles each, like the rest). With no secondary
+            # override the secondary fan-out traces through the PRIMARY
+            # tracer, so its budgets are the ones to raise.
+            if sec is not None:
+                if sec.sampler_budget:
+                    nb = min(2 * sec.sampler_budget, 3 * n_local)
+                    if nb > sec.sampler_budget:
+                        sec = dc.replace(sec, sampler_budget=nb)
+                        changed.append(f"secondary sampler_budget->{nb}")
+                if sec.compact_budget:
+                    nb = min(2 * sec.compact_budget, 3 * n_local)
+                    if nb > sec.compact_budget:
+                        sec = dc.replace(sec, compact_budget=nb)
+                        changed.append(f"secondary compact_budget->{nb}")
+            else:
+                if tracer.sampler_budget:
+                    nb = min(2 * tracer.sampler_budget, 3 * n_local)
+                    if nb > tracer.sampler_budget:
+                        tracer = dc.replace(tracer, sampler_budget=nb)
+                        changed.append(f"sampler_budget->{nb} (shared secondary)")
+                if tracer.compact_budget:
+                    nb = min(2 * tracer.compact_budget, 3 * n_local)
+                    if nb > tracer.compact_budget:
+                        tracer = dc.replace(tracer, compact_budget=nb)
+                        changed.append(f"compact_budget->{nb} (shared secondary)")
+        if counts.get("trace_overflow") and tracer.compact_budget:
+            nb = min(2 * tracer.compact_budget, n_local)
+            if nb > tracer.compact_budget:
+                tracer = dc.replace(tracer, compact_budget=nb)
+                changed.append(f"compact_budget->{nb}")
         if not changed:
             return
         self.model = dc.replace(

@@ -322,7 +322,7 @@ def test_forward_overflow_counters():
 
     out = model.forward(params, inputs, key, training=True)
     for k in ("sampler_overflow", "minsdf_overflow", "shade_overflow",
-              "secondary_overflow"):
+              "secondary_overflow", "trace_overflow"):
         assert int(out[k]) == 0, (k, int(out[k]))
 
     # starve the secondary tracer's sampler budget: 3 strategies x 32 rays
@@ -335,3 +335,13 @@ def test_forward_overflow_counters():
     )
     out_s = starved.forward(params, inputs, key, training=True)
     assert int(out_s["secondary_overflow"]) > 0
+
+    # starve the mid-trace compaction: live rays beyond the budget counted
+    comp = dataclasses.replace(
+        model,
+        ray_tracer=dataclasses.replace(
+            model.ray_tracer, compact_after=1, compact_budget=1
+        ),
+    )
+    out_c = comp.forward(params, inputs, key, training=True)
+    assert int(out_c["trace_overflow"]) > 0

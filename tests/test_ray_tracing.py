@@ -217,3 +217,65 @@ def test_budget_overflow_counters():
         )
     )
     assert int(f(cam, dirs).minsdf_overflow) == int(r_m.minsdf_overflow)
+
+
+def test_midtrace_compaction_exact_when_budget_fits():
+    """With compact_budget >= the live count at compact_after, the two-phase
+    trace must reproduce the dense trace exactly (same hits, same dists) and
+    report zero trace_overflow."""
+    cam, dirs = _camera_rays(n_side=8, spread=0.6)
+    S = dirs.shape[1]
+    obj = jnp.ones((S,), bool)
+    key = jax.random.PRNGKey(0)
+
+    dense = RayTracer(sphere_tracing_iters=10, n_steps=100, n_rootfind_steps=32)
+    # sphere tracing converges linearly, so the live set around the tiny
+    # threshold shrinks late: compact at iter 3 with a budget that only needs
+    # a handful of rays to have converged by then
+    comp = RayTracer(sphere_tracing_iters=10, n_steps=100, n_rootfind_steps=32,
+                     compact_after=3, compact_budget=S - 8)
+
+    for training in (False, True):
+        r_d = dense(sphere_sdf(0.5), cam, obj, dirs, key=key, training=training)
+        r_c = comp(sphere_sdf(0.5), cam, obj, dirs, key=key, training=training)
+        assert int(r_c.trace_overflow) == 0
+        np.testing.assert_array_equal(
+            np.asarray(r_d.object_mask), np.asarray(r_c.object_mask))
+        np.testing.assert_allclose(
+            np.asarray(r_d.dists), np.asarray(r_c.dists), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(r_d.points), np.asarray(r_c.points), atol=1e-6)
+        # phase-2 ran on the smaller array: strictly fewer SDF evals
+        assert int(r_c.n_evals) < int(r_d.n_evals)
+
+    # jit parity
+    jit_c = jax.jit(
+        lambda c, d: comp(sphere_sdf(0.5), c, obj, d, key=key, training=True)
+    )(cam, dirs)
+    r_c = comp(sphere_sdf(0.5), cam, obj, dirs, key=key, training=True)
+    np.testing.assert_allclose(
+        np.asarray(jit_c.dists), np.asarray(r_c.dists), atol=1e-6)
+
+
+def test_midtrace_compaction_overflow_counted():
+    """A compact_budget smaller than the live count must report the shortfall
+    in trace_overflow, and overflow rays still produce sane results (they
+    fall through to the fallback sampler like never-converged rays)."""
+    # slow-converging SDF: scale down the step so many rays stay live
+    slow = lambda x: 0.12 * (jnp.linalg.norm(x, axis=-1) - 0.5)
+    cam, dirs = _camera_rays(n_side=8, spread=0.6)
+    S = dirs.shape[1]
+    obj = jnp.ones((S,), bool)
+    key = jax.random.PRNGKey(0)
+
+    comp = RayTracer(sphere_tracing_iters=10, n_steps=100, n_rootfind_steps=32,
+                     compact_after=1, compact_budget=2)
+    r = comp(slow, cam, obj, dirs, key=key, training=True)
+    assert int(r.trace_overflow) > 0
+    assert np.isfinite(np.asarray(r.dists)).all()
+    # sampler rescues overflow rays: hits still found on the sphere
+    hit = np.asarray(r.object_mask)
+    t_true = _closed_form_sphere_hit(cam, dirs, 0.5)
+    got = np.asarray(r.dists)[hit]
+    want = t_true[hit]
+    np.testing.assert_allclose(got, want, atol=2e-3)
