@@ -197,3 +197,54 @@ def test_memsave_matches_speed_first():
     np.testing.assert_allclose(
         np.asarray(fast["sg_rgb"]), np.asarray(slow["sg_rgb"]), atol=1e-4
     )
+
+
+def test_blend_variants_equal_preblended_estimator():
+    """K>1 base materials are blended per-point BEFORE sampling (reference
+    path_tracing_render.py:1760-1764), so the blend variants must equal the
+    same estimator run on pre-blended per-point roughness/specular with the
+    same key; shadow2 only drops the sphere fallback."""
+    sdf_fn = lambda x: jnp.linalg.norm(x, axis=-1) - 0.3
+    scene = _mock_scene(sdf_fn)
+    n = 256
+    key = jax.random.PRNGKey(7)
+    rng = np.random.RandomState(0)
+
+    spec_k = jnp.asarray([[0.04, 0.04, 0.04], [0.3, 0.25, 0.2]], jnp.float32)
+    rough_k = jnp.asarray([[0.2], [0.7]], jnp.float32)
+    w = jax.nn.softmax(jnp.asarray(rng.randn(n, 2), jnp.float32), axis=-1)
+
+    pts = jnp.tile(jnp.array([[0.0, 0.0, -0.6]]), (n, 1))
+    nrm = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    vw = jnp.tile(jnp.array([[0.3, 0.0, 0.95]]) / np.linalg.norm([0.3, 0.0, 0.95]), (n, 1))
+    alb = jnp.full((n, 3), 0.5)
+
+    spec_b = (spec_k[None] * w[..., None]).sum(-2)   # [n,3]
+    rough_b = (rough_k[None] * w[..., None]).sum(-2)  # [n,1]
+
+    for fn, fallback in (
+        (pt.pt_render_diff_shadow_indirect_blend, True),
+        (pt.pt_render_diff_shadow2_indirect_blend, False),
+    ):
+        got = fn(key, _light(), spec_k, rough_k, alb, nrm, vw, pts, scene,
+                 blending_weights=w)
+        want = pt.pt_render_core(
+            key, _light(), spec_b, rough_b, alb, nrm, vw, pts, scene,
+            strategies=("cos", "brdf", "mix_sg"), shadow="indirect",
+            diff_geo=True, sphere_fallback=fallback,
+        )
+        for k in ("sg_rgb", "sg_specular_rgb", "sg_diffuse_rgb"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]), atol=1e-6,
+                err_msg=f"{fn.__name__}/{k}")
+
+    # the two blend variants must differ only via the sphere fallback's
+    # effect on soft visibility at miss rays — i.e. they produce different
+    # outputs on this occluded scene (guards against the flag being dead)
+    a = pt.pt_render_diff_shadow_indirect_blend(
+        key, _light(), spec_k, rough_k, alb, nrm, vw, pts, scene,
+        blending_weights=w)
+    b = pt.pt_render_diff_shadow2_indirect_blend(
+        key, _light(), spec_k, rough_k, alb, nrm, vw, pts, scene,
+        blending_weights=w)
+    assert not np.allclose(np.asarray(a["sg_rgb"]), np.asarray(b["sg_rgb"]))
