@@ -38,7 +38,7 @@ from nefii_tpu.models.sample_network import sample_network
 from nefii_tpu.ops import path_tracing as ptr
 from nefii_tpu.ops import sampling
 from nefii_tpu.ops.ray_tracing import RayTracer
-from nefii_tpu.ops.sg import render_with_sg
+from nefii_tpu.ops.sg import render_with_sg, safe_norm
 from nefii_tpu.utils.camera import get_camera_params
 
 stop_grad = jax.lax.stop_gradient
@@ -397,12 +397,18 @@ class IDRNetwork:
         if training and not freeze_geo:
             surface_mask = network_object_mask & object_mask
             # eikonal sample points: uniform in the bounding box + pixel points
+            # (eik_override: test hook injecting fixed points so the full
+            # training gradient can be compared head-to-head with torch)
             n_eik = N // 2
-            eik_pts = jax.random.uniform(
-                k_eik, (n_eik, 3),
-                minval=-self.object_bounding_sphere,
-                maxval=self.object_bounding_sphere,
-            )
+            eik_pts = inputs.get("eik_override")
+            if eik_pts is None:
+                eik_pts = jax.random.uniform(
+                    k_eik, (n_eik, 3),
+                    minval=-self.object_bounding_sphere,
+                    maxval=self.object_bounding_sphere,
+                )
+            else:
+                eik_pts = jnp.asarray(eik_pts)
             eik_all = jnp.concatenate([eik_pts, stop_grad(points)], axis=0)
             grad_theta = imp.gradient(p_imp, eik_all)
 
@@ -633,8 +639,8 @@ class IDRNetwork:
             feature_vectors = None
         if detach_normals:
             g = stop_grad(g)
-        normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-6)
-        view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
+        normals = g / (safe_norm(g) + 1e-6)
+        view_dirs = view_dirs / (safe_norm(view_dirs) + 1e-6)
 
         if self.correct_normal:
             normals = self.envmap_material_network.apply_correct_normal(

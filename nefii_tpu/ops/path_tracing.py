@@ -33,6 +33,7 @@ import numpy as np
 from nefii_tpu.models.sample_network import sample_network
 from nefii_tpu.ops import sampling
 from nefii_tpu.ops.sampling import TINY_NUMBER
+from nefii_tpu.ops.sg import safe_norm
 from nefii_tpu.utils.camera import get_sphere_intersection
 
 stop_grad = jax.lax.stop_gradient
@@ -77,7 +78,8 @@ def ggx_brdf_direct(
     roughness [...,1] or [K,1], specular [...,3] or [K,3].
     """
     half = wi + viewdirs
-    half = half / (jnp.linalg.norm(half, axis=-1, keepdims=True) + TINY_NUMBER)
+    # safe_norm: wi == -viewdirs (grazing/masked sample) must not NaN the grad
+    half = half / (safe_norm(half) + TINY_NUMBER)
 
     n_dot_h = jnp.clip(jnp.sum(normal * half, -1, keepdims=True), 0.0)
     r2 = roughness**2
@@ -143,9 +145,9 @@ def visibility_and_indirect(
         g = scene.implicit_grad(dsp)
     if not diff_geo:
         g = stop_grad(g)
-    normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-6)
+    normals = g / (safe_norm(g) + 1e-6)
     view_dirs = -wi
-    view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
+    view_dirs = view_dirs / (safe_norm(view_dirs) + 1e-6)
 
     if scene.feature_size > 0:
         feats = feats_all if fused else out[:, 1:]
@@ -577,11 +579,11 @@ def pt_render_with_sg(key, lgtSGs, specular_reflectance, roughness,
 
     v_dot_lobe = jnp.clip(jnp.sum(normal_k * viewdirs_k, -1, keepdims=True), 0.0)
     warp_lobes = 2 * v_dot_lobe * normal_k - viewdirs_k
-    warp_lobes = warp_lobes / (jnp.linalg.norm(warp_lobes, axis=-1, keepdims=True) + TINY_NUMBER)
+    warp_lobes = warp_lobes / (safe_norm(warp_lobes) + TINY_NUMBER)
     warp_lambdas = brdf_lambdas / (4 * v_dot_lobe + TINY_NUMBER)
 
     new_half = wi_k + viewdirs_k
-    new_half = new_half / (jnp.linalg.norm(new_half, axis=-1, keepdims=True) + TINY_NUMBER)
+    new_half = new_half / (safe_norm(new_half) + TINY_NUMBER)
     v_dot_h = jnp.clip(jnp.sum(viewdirs_k * new_half, -1, keepdims=True), 0.0)
     F = specular_reflectance[None] + (1.0 - specular_reflectance[None]) * jnp.power(
         2.0, -(5.55473 * v_dot_h + 6.8316) * v_dot_h

@@ -28,8 +28,19 @@ LAMBDA_COS = 0.0315
 ALPHA_COS = 31.7003
 
 
+def safe_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """L2 norm over the last axis with a FINITE gradient at the zero vector.
+
+    sqrt'(0) = inf makes jnp.linalg.norm's backward NaN at a zero vector
+    (e.g. a degenerate half-vector on a masked-out ray — the 0-cotangent x
+    NaN product still poisons the gradient through jnp.where). Flooring the
+    squared norm at 1e-24 keeps the forward bit-identical for any practical
+    input while making the backward finite everywhere."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-24))
+
+
 def norm_axis(x: jnp.ndarray, eps: float = TINY_NUMBER) -> jnp.ndarray:
-    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
+    return x / (safe_norm(x) + eps)
 
 
 def hemisphere_int(lambda_val: jnp.ndarray, cos_beta: jnp.ndarray) -> jnp.ndarray:

@@ -579,3 +579,150 @@ def test_pt_render_envmap_estimator_parity(pair):
         wi_override=tuple(jnp.asarray(w) for w in wis),
     )
     _assert_estimator_parity(ref_out, our_out)
+
+
+# ---------------------------------------------------------------------------
+# FULL TRAINING GRADIENT parity: same weights, same rays, same eikonal
+# points, same loss -> the gradient of the total training loss w.r.t. every
+# parameter must match torch. This pins the training dynamics themselves:
+# weight-norm reparametrised grads, the stop-gradient boundaries around the
+# tracer, the SampleNetwork IFT path (loss -> differentiable points -> SDF
+# params), second-order AD for the eikonal term, and the mask-BCE alpha term
+# (reference implicit_differentiable_renderer.py:340-419, model/loss.py).
+# ---------------------------------------------------------------------------
+
+class _fixed_uniform:
+    """Monkeypatch torch.Tensor.uniform_ to return fixed values for
+    shape-matched tensors (the eikonal points and the shared min-SDF step
+    vector), leaving other calls untouched."""
+
+    def __init__(self, patterns):
+        self.patterns = {tuple(s): v for s, v in patterns}
+
+    def __enter__(self):
+        self.saved = torch.Tensor.uniform_
+        patterns, saved = self.patterns, torch.Tensor.uniform_
+
+        def fake(t, a=0.0, b=1.0):
+            v = patterns.get(tuple(t.shape))
+            if v is not None:
+                with torch.no_grad():
+                    t.copy_(torch.as_tensor(v))
+                return t
+            return saved(t, a, b)
+
+        torch.Tensor.uniform_ = fake
+        return self
+
+    def __exit__(self, *exc):
+        torch.Tensor.uniform_ = self.saved
+        return False
+
+
+class _fixed_jax_uniform:
+    """Monkeypatch jax.random.uniform to return fixed values for
+    shape-matched draws (mirror of _fixed_uniform on the JAX side; the
+    fixed values are assumed already scaled to the caller's range)."""
+
+    def __init__(self, patterns):
+        self.patterns = {tuple(s): v for s, v in patterns}
+
+    def __enter__(self):
+        self.saved = jax.random.uniform
+        patterns, saved = self.patterns, jax.random.uniform
+
+        def fake(key, shape=(), dtype=None, minval=0.0, maxval=1.0):
+            v = patterns.get(tuple(shape))
+            if v is not None:
+                return jnp.asarray(v)
+            kw = {} if dtype is None else {"dtype": dtype}
+            return saved(key, shape, minval=minval, maxval=maxval, **kw)
+
+        jax.random.uniform = fake
+        return self
+
+    def __exit__(self, *exc):
+        jax.random.uniform = self.saved
+        return False
+
+
+def test_training_gradient_parity(physg_pair):
+    from nefii_tpu.models.loss import IDRLoss
+
+    ref, ours, params, _ = physg_pair
+    ref_loss_mod = import_reference("model.loss")
+
+    W = 64
+    K, pose = _camera(W)
+    uv = _center_rays(160, W, seed=12)
+    n_rays = uv.shape[1]
+    rng = np.random.RandomState(5)
+    obj_mask = (rng.rand(1, n_rays) < 0.75)
+    gt_rgb = rng.rand(1, n_rays, 3).astype(np.float32)
+    n_eik = n_rays // 2
+    fixed_eik = rng.uniform(-1.0, 1.0, (n_eik, 3)).astype(np.float32)
+    # the min-SDF miss handler draws one shared [n_steps] step vector
+    # (reference ray_tracing.py:316, ours _minimal_sdf_points) — pin it to
+    # the same values on both sides
+    n_steps = ours.ray_tracer.n_steps
+    fixed_steps = rng.uniform(0.0, 1.0, (n_steps,)).astype(np.float32)
+
+    loss_kw = dict(
+        idr_rgb_weight=1.0, sg_rgb_weight=1.0, eikonal_weight=0.1,
+        mask_weight=100.0, alpha=50.0, loss_type="L1",
+    )
+
+    # ---- reference: training forward + loss + backward -------------------
+    ref.train()
+    ref.zero_grad()
+    inp = {
+        "uv": _t(uv),
+        "intrinsics": _t(K[None]),
+        "pose": _t(pose[None]),
+        "object_mask": torch.as_tensor(obj_mask),
+    }
+    with _fixed_uniform([((n_eik, 3), fixed_eik), ((n_steps,), fixed_steps)]):
+        ref_out = ref(inp)
+    ref_loss = ref_loss_mod.IDRLoss(**loss_kw)
+    ref_ld = ref_loss(ref_out, {"rgb": _t(gt_rgb)})
+    ref_ld["loss"].backward()
+    grads_state = {
+        n: (p.grad if p.grad is not None else torch.zeros_like(p))
+        for n, p in ref.named_parameters()
+    }
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    g_ref = checkpoints.import_torch_idr(zeros, grads_state)
+
+    # ---- ours: jax.grad of the same scalar -------------------------------
+    our_loss = IDRLoss(**loss_kw)
+    batch = {
+        "uv": jnp.asarray(uv),
+        "intrinsics": jnp.asarray(K[None]),
+        "pose": jnp.asarray(pose[None]),
+        "object_mask": jnp.asarray(obj_mask),
+        "eik_override": jnp.asarray(fixed_eik),
+    }
+    gt = {"rgb": jnp.asarray(gt_rgb)}
+
+    def scalar(p):
+        out = ours.forward(p, batch, jax.random.PRNGKey(0), training=True)
+        return our_loss(out, gt, alpha=jnp.float32(50.0))["loss"]
+
+    with _fixed_jax_uniform([((n_steps,), fixed_steps)]):
+        val, g_ours = jax.value_and_grad(scalar)(params)
+
+    # loss VALUES agree
+    np.testing.assert_allclose(float(val), float(ref_ld["loss"]), rtol=5e-4)
+
+    # gradient trees agree per network (relative L2 per leaf)
+    for net in ("implicit_network", "rendering_network", "envmap_material_network"):
+        leaves_r, treedef = jax.tree_util.tree_flatten(g_ref[net])
+        leaves_o, _ = jax.tree_util.tree_flatten(g_ours[net])
+        assert len(leaves_r) == len(leaves_o), net
+        for path_r, path_o in zip(leaves_r, leaves_o):
+            a, b = np.asarray(path_r, np.float64), np.asarray(path_o, np.float64)
+            denom = np.linalg.norm(a) + 1e-8
+            rel = np.linalg.norm(a - b) / denom
+            assert rel < 2e-3 or np.linalg.norm(a - b) < 1e-7, (
+                f"{net}: grad leaf rel err {rel:.2e} (|ref|={denom:.2e})"
+            )
