@@ -296,7 +296,12 @@ class EnvmapMaterialNetwork:
             blending_weights = None
 
         if self.fix_specular_albedo:
-            specular_reflectance = params["specular_reflectance"]
+            # the reference stores the fixed albedo with requires_grad=False
+            # (sg_envmap_material.py:171-172) — cut the gradient so training
+            # can never drift the "fixed" value
+            specular_reflectance = jax.lax.stop_gradient(
+                params["specular_reflectance"]
+            )
         else:
             if not self.specular_mlp:
                 specular_reflectance = jax.nn.sigmoid(params["specular_reflectance"])

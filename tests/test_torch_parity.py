@@ -826,3 +826,78 @@ def test_pt_estimator_gradient_parity(pair):
         r = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-8)
         assert np.linalg.norm(a) > 0, f"{net}: reference grads all zero"
         assert r < 1e-3, f"{net}: grad rel err {r:.2e}"
+
+
+def test_secondary_distillation_gradient_parity(pair):
+    """Gradients of the secondary self-distillation step match torch: the
+    reference's train_with_secondary runs forward_with_point (which sets
+    state_freeze_geo=True for the call — detaching only NORMALS, leaving
+    the feature path attached) and minimises L1(sg_rgb, idr_rgb)
+    (idr_train.py:804-852, implicit_differentiable_renderer.py:503-527).
+    Injected common samples make the MC estimator deterministic on both
+    sides; gradients are compared per network including the implicit net's
+    feature-path gradient (the semantics the round-2 advisor flagged)."""
+    ref, ours, params, _ = pair
+    ptr = import_reference("model.path_tracing_render")
+
+    N_pts, R = 12, 4
+    rng = np.random.RandomState(31)
+    d = rng.normal(size=(N_pts, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    sec_pts = (0.9 * d).astype(np.float32)
+    sec_dirs = rng.normal(size=(N_pts, 3)).astype(np.float32)
+    sec_dirs /= np.linalg.norm(sec_dirs, axis=-1, keepdims=True)
+    pts_nr = np.broadcast_to(sec_pts[:, None], (N_pts, R, 3)).copy()
+    dirs_nr = np.broadcast_to(sec_dirs[:, None], (N_pts, R, 3)).copy()
+
+    n_flat = N_pts * R
+    # per-strategy injected directions pointing inward-ish so secondary
+    # hits exist (view = -dir -> normal side varies; keep them generic)
+    wis = []
+    for s in range(3):
+        w = rng.normal(size=(n_flat, 3)).astype(np.float32)
+        w /= np.linalg.norm(w, axis=-1, keepdims=True)
+        wis.append(w)
+
+    # ---- torch: training-mode forward_with_point + L1 + backward ---------
+    ref.train()
+    ref.zero_grad()
+    with _patched_ref_samplers(ptr, [_t(w) for w in wis]):
+        ref_out = ref.forward_with_point(
+            {"points": _t(pts_nr), "ray_dirs": _t(dirs_nr)}
+        )
+    ref_loss = torch.nn.functional.l1_loss(
+        ref_out["sg_rgb_values"], ref_out["idr_rgb_values"]
+    )
+    ref_loss.backward()
+    grads_state = {
+        n: (p.grad if p.grad is not None else torch.zeros_like(p))
+        for n, p in ref.named_parameters()
+    }
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    g_ref = checkpoints.import_torch_idr(zeros, grads_state)
+
+    # ---- ours -------------------------------------------------------------
+    batch = {
+        "points": jnp.asarray(pts_nr),
+        "ray_dirs": jnp.asarray(dirs_nr),
+        "wi_override": tuple(jnp.asarray(w) for w in wis),
+    }
+
+    def scalar(p):
+        out = ours.forward_with_point(
+            p, batch, jax.random.PRNGKey(0), freeze_geo=False
+        )
+        return jnp.abs(out["sg_rgb_values"] - out["idr_rgb_values"]).mean()
+
+    val, g_ours = jax.value_and_grad(scalar)(params)
+    np.testing.assert_allclose(float(val), float(ref_loss), rtol=1e-3)
+
+    for net in ("implicit_network", "rendering_network", "envmap_material_network"):
+        a = np.concatenate([np.asarray(l, np.float64).ravel()
+                            for l in jax.tree_util.tree_leaves(g_ref[net])])
+        b = np.concatenate([np.asarray(l, np.float64).ravel()
+                            for l in jax.tree_util.tree_leaves(g_ours[net])])
+        r = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+        assert np.linalg.norm(a) > 0, f"{net}: reference grads all zero"
+        assert r < 1e-2, f"{net}: grad rel err {r:.2e}"
