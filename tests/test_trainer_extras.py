@@ -134,3 +134,58 @@ def test_budget_overflow_auto_escalates(scene_dir, tmp_path):
     )
     runner2.run()
     assert runner2.model.ray_tracer.minsdf_budget == 2
+
+
+def test_camera_adam_matches_torch_sparseadam():
+    """The pose update machinery (optax.adam + touched-row masking +
+    _mask_adam_rows, trainer.py:360-370) must reproduce
+    torch.optim.SparseAdam over multiple steps with varying touched-row
+    patterns: touched rows step with global-step bias correction, untouched
+    rows keep params AND moments bit-still."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nefii_tpu.training.trainer import _mask_adam_rows
+
+    n_img, lr = 6, 1e-3
+    rng = np.random.RandomState(0)
+    pose0 = rng.randn(n_img, 7).astype(np.float32)
+
+    # torch: sparse embedding + SparseAdam
+    emb = torch.nn.Embedding(n_img, 7, sparse=True)
+    with torch.no_grad():
+        emb.weight.copy_(torch.tensor(pose0))
+    opt = torch.optim.SparseAdam(emb.parameters(), lr=lr)
+
+    # ours: the trainer's exact update
+    cam_tx = optax.adam(lr)
+    pose_j = jnp.asarray(pose0)
+    state_j = cam_tx.init(pose_j)
+
+    patterns = [[0, 2], [0, 3, 4], [2], [0, 2, 3]]  # row 1 and 5 never touched
+    for t, rows in enumerate(patterns):
+        gvals = rng.randn(len(rows), 7).astype(np.float32)
+
+        # torch step: loss touching exactly `rows`
+        opt.zero_grad()
+        out = emb(torch.tensor(rows))
+        (out * torch.tensor(gvals)).sum().backward()
+        opt.step()
+
+        # our step: dense grad, zero off-batch rows (the masked-mean loss
+        # produces exactly this)
+        g = np.zeros((n_img, 7), np.float32)
+        g[rows] = gvals
+        g = jnp.asarray(g)
+        updates, new_state = cam_tx.update(g, state_j, pose_j)
+        touched = jnp.abs(g).sum(-1, keepdims=True) > 0
+        pose_j = jnp.where(touched, optax.apply_updates(pose_j, updates), pose_j)
+        state_j = _mask_adam_rows(new_state, state_j, touched)
+
+    ours = np.asarray(pose_j)
+    theirs = emb.weight.detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+    # never-touched rows bit-identical to init
+    np.testing.assert_array_equal(ours[[1, 5]], pose0[[1, 5]])
