@@ -71,6 +71,31 @@ def _pad_to(arr: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     return jnp.pad(arr, ((0, rows - r), (0, cols - c)))
 
 
+def _embed_padded(pts: jnp.ndarray, embed_fn, n_pad: int, x_pad: int) -> jnp.ndarray:
+    """Embed `pts` and deliver the kernel-ready [n_pad, x_pad] buffer in ONE
+    materialised pass.
+
+    The naive order — embed [N,39], then jnp.pad rows+cols to [n_pad,x_pad] —
+    makes XLA materialise the embedding and then run a separate pad/relayout
+    pass over the ~300 MB buffer at the train step's 2M-point sampler batch.
+    Row-padding the cheap [N,3] input FIRST and folding the zero lane-pad
+    into the embedding's own concatenate lets XLA emit the kernel-ready
+    buffer in one pass. MEASURED (v5e, 2.1M pts, full build_fused_sdf call):
+    93.4 -> 91.5 ms — XLA already fuses most of the chain, so the win is ~2%
+    of the call, invisible in the full train step (1.03 s both ways); kept
+    because it is strictly less data movement and simpler to reason about.
+    Real rows are elementwise identical (bit-exact); pad rows hold embed(0)
+    instead of zeros and every caller slices them off."""
+    N, d = pts.shape
+    p = jnp.pad(pts, ((0, n_pad - N), (0, 0)))
+    x = embed_fn(p)
+    if x.shape[-1] < x_pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_pad, x_pad - x.shape[-1]), x.dtype)], axis=-1
+        )
+    return x
+
+
 def prepare_weights(network, params: Dict[str, Any]):
     """Resolve weight-norm + padding + skip folding into kernel-ready arrays.
 
@@ -185,8 +210,7 @@ def build_fused_hidden(network, params: Dict[str, Any], tile: int = 512, interpr
         if embed_in_kernel:
             x = jnp.pad(pts, ((0, n_pad - N), (0, in_cols - pts.shape[1]))).astype(in_dtype)
         else:
-            x = embed_fn(pts)
-            x = jnp.pad(x, ((0, n_pad - N), (0, x_pad - x.shape[1]))).astype(dtype)
+            x = _embed_padded(pts, embed_fn, n_pad, x_pad).astype(dtype)
 
         grid = (n_pad // tile,)
         in_specs = [
@@ -350,9 +374,10 @@ def build_fused_sdf_feature_grad(network, params: Dict[str, Any], tile: int = 25
         pts = jax.lax.stop_gradient(pts)
         N = pts.shape[0]
         n_pad = _round_up(max(N, tile), tile)
-        x = embed_fn(pts) if network.multires > 0 else pts
-        emb_dim = x.shape[-1]
-        x = jnp.pad(x, ((0, n_pad - N), (0, x_pad - emb_dim)))
+        emb_dim = dims[0]
+        x = _embed_padded(
+            pts, embed_fn if network.multires > 0 else (lambda p: p), n_pad, x_pad
+        )
 
         grid = (n_pad // tile,)
         in_specs = (
