@@ -1,0 +1,175 @@
+"""Decomposition-recovery benchmark: does Step-2 training actually separate
+albedo from light?
+
+Trains the shipped Step-2 recipe (pt_render_indirect_mlp + secondary
+self-distillation, frozen Step-1-style geometry) on the synthetic blobby
+scene whose per-sphere diffuse albedos and directional light are KNOWN
+analytically, then reports three ground-truth-anchored numbers no
+novel-view PSNR can fake:
+
+1. heldout_sg_psnr  — novel-view re-render quality (sanity anchor, same
+   metric as ab_secondary_tracer.py).
+2. albedo           — recovered diffuse albedo vs the analytic per-sphere
+   albedos at surface sample points, after the per-channel median scale
+   alignment evaluate.py applies (reference scripts/evaluate.py:164-171;
+   inverse rendering has a global light<->albedo scale ambiguity).
+   Reported per sphere and overall (PSNR of aligned albedo).
+3. relight          — the decomposition test proper: rotate the RECOVERED
+   light SGs by R (scripts/envmap_tools.rotate_lightsg, reference
+   envmaps/rotate_lightsg.py:44-64), re-render the held-out view, and
+   compare against the analytic scene re-rendered under the SAME rotated
+   light. A model that baked shading into albedo (or albedo into light)
+   renders the original image, not the relit one, and fails this gate.
+
+Usage: python decomposition_recovery.py <iters> <seed> <out.json>
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_ITERS, SEED, OUT = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)                    # bench_fit, synthetic_scene
+sys.path.insert(0, os.path.dirname(_HERE))   # nefii_tpu
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/nefii_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+import jax.numpy as jnp
+
+from nefii_tpu.scripts.envmap_tools import rotate_lightsg  # noqa: E402
+from synthetic_scene import (  # noqa: E402
+    ALBEDOS, CENTERS, LIGHT_DIR, RADII, build_model, make_views, render_gt,
+    run_training, sdf_np,
+)
+
+H = W = 48
+RELIGHT_DEG = 50.0  # rotation about the world y axis
+
+
+def rot_y(deg):
+    c, s = np.cos(np.radians(deg)), np.sin(np.radians(deg))
+    return np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def masked_psnr(pred, gt, m):
+    if m.sum() == 0:
+        return 0.0
+    mse = float(np.mean((pred[m] - gt[m]) ** 2))
+    return -10 * np.log10(max(mse, 1e-10))
+
+
+def surface_samples(n_per_sphere, seed):
+    """Surface points per sphere, restricted to where that sphere IS the
+    union surface (not swallowed by a neighbour)."""
+    rng = np.random.default_rng(seed)
+    pts, comp = [], []
+    for i in range(len(CENTERS)):
+        d = rng.normal(size=(4 * n_per_sphere, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        p = CENTERS[i] + RADII[i] * d
+        s, c = sdf_np(p)
+        keep = (c == i) & (s > -1e-4)
+        p = p[keep][:n_per_sphere]
+        pts.append(p)
+        comp.append(np.full(len(p), i))
+    return (np.concatenate(pts).astype(np.float32),
+            np.concatenate(comp).astype(np.int32))
+
+
+def main():
+    views = make_views(7, H, W)
+    train_views, test_view = views[:-1], views[-1]
+    model = build_model("reduced")
+
+    t0 = time.time()
+    params = run_training(
+        model, train_views, H, W, N_ITERS, SEED,
+        eval_cb=lambda it, p, l: print(
+            f"[recovery s{SEED}] it={it} loss={l:.4f} "
+            f"elapsed={(time.time()-t0)/60:.1f}m", flush=True),
+    )
+
+    Kt, C2Wt, img_t, mask_t = test_view
+    v, u = np.mgrid[0:H, 0:W].astype(np.float32) + 0.5
+    uv_all = np.stack([u, v], -1).reshape(1, -1, 2)
+
+    @jax.jit
+    def eval_render(params):
+        out = model.forward(
+            params,
+            {"uv": jnp.asarray(uv_all),
+             "object_mask": jnp.ones((1, H * W), bool),
+             "intrinsics": jnp.asarray(Kt[None]),
+             "pose": jnp.asarray(C2Wt[None])},
+            jax.random.PRNGKey(0), training=False,
+        )
+        return out["sg_rgb_values"], out["network_object_mask"]
+
+    results = {"iters": N_ITERS, "seed": SEED}
+
+    # ---- 1. held-out novel-view re-render --------------------------------
+    rgb, hit = eval_render(params)
+    rgb = np.asarray(rgb).reshape(H, W, 3)
+    m = mask_t & np.asarray(hit).reshape(H, W)
+    results["heldout_sg_psnr_db"] = round(masked_psnr(rgb, img_t, m), 3)
+
+    # ---- 2. albedo recovery at surface points ----------------------------
+    pts, comp = surface_samples(2000, seed=SEED + 5)
+    p_imp = params["implicit_network"]
+
+    @jax.jit
+    def query_albedo(pts):
+        _, feat, g = model._sfg_closure(p_imp, True)(pts)
+        normals = g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-6)
+        mat = model.envmap_material_network(
+            params["envmap_material_network"], pts, feat, normals
+        )
+        return mat["sg_diffuse_albedo"]
+
+    pred = np.array(query_albedo(jnp.asarray(pts)))
+    gt = ALBEDOS[comp]
+    # per-channel median scale alignment over ALL points (evaluate.py:24-31)
+    for c in range(3):
+        pred[:, c] *= np.median(gt[:, c] / np.clip(pred[:, c], 1e-4, None))
+    results["albedo_psnr_db"] = round(
+        -10 * np.log10(max(float(np.mean((pred - gt) ** 2)), 1e-10)), 3)
+    results["albedo_per_sphere"] = {
+        f"sphere{i}": {
+            "gt": [round(float(x), 3) for x in ALBEDOS[i]],
+            "recovered_aligned": [
+                round(float(x), 3) for x in pred[comp == i].mean(0)],
+        }
+        for i in range(len(CENTERS))
+    }
+
+    # ---- 3. relighting ----------------------------------------------------
+    R = rot_y(RELIGHT_DEG)
+    gt_relit, _ = render_gt(
+        C2Wt, Kt, H, W, light_dir=R @ np.asarray(LIGHT_DIR, np.float32))
+    p_mat = dict(params["envmap_material_network"])
+    lgt = model.envmap_material_network.get_lgtSGs(params["envmap_material_network"])
+    p_mat["lgtSGs"] = jnp.asarray(rotate_lightsg(np.asarray(lgt), R))
+    relit_params = dict(params, envmap_material_network=p_mat)
+    rgb_r, hit_r = eval_render(relit_params)
+    rgb_r = np.asarray(rgb_r).reshape(H, W, 3)
+    m_r = mask_t & np.asarray(hit_r).reshape(H, W)
+    results["relight_psnr_db"] = round(masked_psnr(rgb_r, gt_relit, m_r), 3)
+    # control: the UNrotated render scored against the relit ground truth —
+    # a failed decomposition (shading baked into albedo) matches this value;
+    # a real one beats it
+    results["relight_control_psnr_db"] = round(masked_psnr(rgb, gt_relit, m), 3)
+    results["relight_deg"] = RELIGHT_DEG
+
+    results["minutes"] = round((time.time() - t0) / 60, 1)
+    json.dump(results, open(OUT, "w"), indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
