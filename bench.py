@@ -204,62 +204,30 @@ _FIT_CACHE = {}
 def fit_representative_geometry(model, params):
     """Quick Step-1-style fit of the implicit net to an analytic blobby
     three-sphere union, so trace cost is representative (see the NOTE in
-    bench_train_step about data-dependent trace time). Fitted once per
-    process (the three benchmark phases share the flagship implicit net)."""
+    bench_train_step about data-dependent trace time). The fit itself lives
+    in benchmarks/bench_fit.py (shared with the quality benchmarks); this
+    wrapper fits once per process and caches host-side — the three benchmark
+    phases share the flagship implicit net, and the train-step phase donates
+    its params, which would delete a shared cached device tree."""
     import jax
     import jax.numpy as jnp
-    import optax
 
     if "implicit" in _FIT_CACHE:
-        # hand out FRESH device arrays: the train-step phase donates its
-        # params, which would delete a shared cached tree under later phases
+        # hand out FRESH device arrays (donation-safe)
         fresh = jax.tree_util.tree_map(jnp.asarray, _FIT_CACHE["implicit"])
         return dict(params, implicit_network=fresh)
 
-    centers = np.asarray(
-        [[0.25, 0.0, 0.0], [-0.2, 0.15, 0.1], [0.0, -0.25, -0.15]], np.float32
-    )
-    radii = np.asarray([0.45, 0.35, 0.3], np.float32)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "benchmarks"))
+    import bench_fit
+    from synthetic_scene import CENTERS, RADII
 
-    def sdf_gt(p):
-        d = jnp.linalg.norm(p[:, None, :] - jnp.asarray(centers)[None], axis=-1)
-        return (d - jnp.asarray(radii)[None]).min(-1)
-
-    n_fit, fit_bs = 500, 8192
-    fit_rng = np.random.RandomState(11)
-    k = fit_bs // 2
-    ci = fit_rng.randint(0, 3, (n_fit, k))
-    nd = fit_rng.normal(size=(n_fit, k, 3))
-    nd /= np.linalg.norm(nd, axis=-1, keepdims=True)
-    near_pts = centers[ci] + nd * (
-        radii[ci][..., None] + fit_rng.normal(scale=0.05, size=(n_fit, k, 1))
-    )
-    uni_pts = fit_rng.uniform(-1.0, 1.0, (n_fit, fit_bs - k, 3))
-    fit_pts = jnp.asarray(
-        np.concatenate([near_pts, uni_pts], axis=1), jnp.float32
-    )
-
-    imp = model.implicit_network
-    geo_tx = optax.adam(1e-3)
-
-    def geo_step(carry, pts):
-        p_imp, st = carry
-
-        def l1(p):
-            return jnp.abs(imp.sdf(p, pts) - sdf_gt(pts)).mean()
-
-        g = jax.grad(l1)(p_imp)
-        u, st = geo_tx.update(g, st, p_imp)
-        return (optax.apply_updates(p_imp, u), st), None
-
-    p_imp = params["implicit_network"]
-    (p_imp, _), _ = jax.jit(
-        lambda c, xs: jax.lax.scan(geo_step, c, xs)
-    )((p_imp, geo_tx.init(p_imp)), fit_pts)
-    jax.block_until_ready(p_imp)
+    params = bench_fit.fit(model, params, CENTERS, RADII, n_fit=500)
     # cache host-side so later phases survive donation of earlier ones
-    _FIT_CACHE["implicit"] = jax.tree_util.tree_map(np.asarray, p_imp)
-    return dict(params, implicit_network=p_imp)
+    _FIT_CACHE["implicit"] = jax.tree_util.tree_map(
+        np.asarray, params["implicit_network"]
+    )
+    return params
 
 
 def _exact_train_model():

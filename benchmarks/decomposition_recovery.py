@@ -20,8 +20,15 @@ novel-view PSNR can fake:
    compare against the analytic scene re-rendered under the SAME rotated
    light. A model that baked shading into albedo (or albedo into light)
    renders the original image, not the relit one, and fails this gate.
+   Interpretation caveats: (a) the relight score is bounded above by the
+   model's own re-render fidelity (heldout_sg_psnr) — it cannot relight
+   better than it renders; (b) pt_render_indirect_mlp's indirect radiance
+   comes from the IDR radiance cache, which encodes the ORIGINAL lighting
+   and is not relit — a structural property of the reference's render
+   types (its vis_rotate_envlight sweeps share it) that compresses the
+   relight-vs-control margin on scenes with strong occlusion.
 
-Usage: python decomposition_recovery.py <iters> <seed> <out.json>
+Usage: python decomposition_recovery.py <iters> <seed> <out.json> [res] [views]
 """
 import json
 import os
@@ -31,6 +38,8 @@ import time
 import numpy as np
 
 N_ITERS, SEED, OUT = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+RES = int(sys.argv[4]) if len(sys.argv) > 4 else 48
+N_VIEWS = int(sys.argv[5]) if len(sys.argv) > 5 else 7  # train = views - 1
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)                    # bench_fit, synthetic_scene
@@ -44,12 +53,19 @@ import jax.numpy as jnp
 
 from nefii_tpu.scripts.envmap_tools import rotate_lightsg  # noqa: E402
 from synthetic_scene import (  # noqa: E402
-    ALBEDOS, CENTERS, LIGHT_DIR, RADII, build_model, make_views, render_gt,
-    run_training, sdf_np,
+    ALBEDOS, CENTERS, LIGHT2_DIR, LIGHT2_RGB, LIGHT_DIR, RADII, build_model,
+    make_views, render_gt, run_training, sdf_np,
 )
 
-H = W = 48
+H = W = RES
 RELIGHT_DEG = 50.0  # rotation about the world y axis
+# two SHADOW-TRACED directional lights, no unshadowed ambient: physically
+# consistent with the SG-light + traced-visibility model family (an
+# unshadowed ambient floor is not representable, and forces the optimizer
+# to bake the mismatch into albedo — measured: with the legacy ambient
+# scene, relight_psnr lands BELOW the unrotated control)
+LIGHTS = [(np.asarray(LIGHT_DIR, np.float32), np.ones(3, np.float32)),
+          (np.asarray(LIGHT2_DIR, np.float32), LIGHT2_RGB)]
 
 
 def rot_y(deg):
@@ -64,17 +80,43 @@ def masked_psnr(pred, gt, m):
     return -10 * np.log10(max(mse, 1e-10))
 
 
-def surface_samples(n_per_sphere, seed):
+def _visible_from_any(p, n, eyes):
+    """Occlusion-checked visibility of surface points from >=1 camera eye.
+    Albedo at never-observed points is unsupervised — scoring it would
+    measure extrapolation, not decomposition."""
+    vis = np.zeros(len(p), bool)
+    for e in eyes:
+        d = e - p
+        dist = np.linalg.norm(d, axis=-1)
+        d = d / (dist[:, None] + 1e-9)
+        front = (n * d).sum(-1) > 0.1
+        # sphere-march from the point toward the eye; blocked if the march
+        # re-enters the surface before covering the distance
+        t = np.full(len(p), 2e-2, np.float32)
+        blocked = np.zeros(len(p), bool)
+        for _ in range(64):
+            s, _ = sdf_np(p + t[:, None] * d)
+            blocked |= (s < 5e-4) & (t < dist - 1e-2)
+            t += np.maximum(s, 2e-3)
+        vis |= front & ~blocked
+    return vis
+
+
+def surface_samples(n_per_sphere, seed, eyes=None):
     """Surface points per sphere, restricted to where that sphere IS the
-    union surface (not swallowed by a neighbour)."""
+    union surface (not swallowed by a neighbour) and, when `eyes` is given,
+    to points visible from at least one training camera."""
     rng = np.random.default_rng(seed)
     pts, comp = [], []
     for i in range(len(CENTERS)):
-        d = rng.normal(size=(4 * n_per_sphere, 3))
+        d = rng.normal(size=(8 * n_per_sphere, 3))
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        p = CENTERS[i] + RADII[i] * d
+        p = (CENTERS[i] + RADII[i] * d).astype(np.float32)
         s, c = sdf_np(p)
         keep = (c == i) & (s > -1e-4)
+        if eyes is not None:
+            nrm = (p - CENTERS[i]) / RADII[i]
+            keep &= _visible_from_any(p, nrm, eyes)
         p = p[keep][:n_per_sphere]
         pts.append(p)
         comp.append(np.full(len(p), i))
@@ -83,7 +125,7 @@ def surface_samples(n_per_sphere, seed):
 
 
 def main():
-    views = make_views(7, H, W)
+    views = make_views(N_VIEWS, H, W, lights=LIGHTS)
     train_views, test_view = views[:-1], views[-1]
     model = build_model("reduced")
 
@@ -111,7 +153,8 @@ def main():
         )
         return out["sg_rgb_values"], out["network_object_mask"]
 
-    results = {"iters": N_ITERS, "seed": SEED}
+    results = {"iters": N_ITERS, "seed": SEED, "res": RES,
+               "train_views": N_VIEWS - 1}
 
     # ---- 1. held-out novel-view re-render --------------------------------
     rgb, hit = eval_render(params)
@@ -120,7 +163,8 @@ def main():
     results["heldout_sg_psnr_db"] = round(masked_psnr(rgb, img_t, m), 3)
 
     # ---- 2. albedo recovery at surface points ----------------------------
-    pts, comp = surface_samples(2000, seed=SEED + 5)
+    eyes = [C2W[:3, 3] for _, C2W, _, _ in train_views]
+    pts, comp = surface_samples(2000, seed=SEED + 5, eyes=eyes)
     p_imp = params["implicit_network"]
 
     @jax.jit
@@ -139,11 +183,25 @@ def main():
         pred[:, c] *= np.median(gt[:, c] / np.clip(pred[:, c], 1e-4, None))
     results["albedo_psnr_db"] = round(
         -10 * np.log10(max(float(np.mean((pred - gt) ** 2)), 1e-10)), 3)
+    # hue metric: one SCALAR scale per sphere (not per channel — chroma is
+    # untouched) before the PSNR. The physical ambiguity is only the single
+    # global light<->albedo scale, so per-region brightness spread is a real
+    # decomposition error, but it is a DIFFERENT error from getting a
+    # sphere's color wrong — report both, plus the scales themselves.
+    hue_err, scales = [], []
+    for i in range(len(CENTERS)):
+        p_i, g_i = pred[comp == i], ALBEDOS[i]
+        s = float(np.median(g_i.mean() / np.clip(p_i.mean(-1), 1e-4, None)))
+        scales.append(round(1.0 / s, 3))  # recovered/gt brightness ratio
+        hue_err.append((p_i * s - g_i) ** 2)
+    results["albedo_hue_psnr_db"] = round(
+        -10 * np.log10(max(float(np.mean(np.concatenate(hue_err))), 1e-10)), 3)
     results["albedo_per_sphere"] = {
         f"sphere{i}": {
             "gt": [round(float(x), 3) for x in ALBEDOS[i]],
             "recovered_aligned": [
                 round(float(x), 3) for x in pred[comp == i].mean(0)],
+            "brightness_ratio_vs_global": scales[i],
         }
         for i in range(len(CENTERS))
     }
@@ -151,7 +209,8 @@ def main():
     # ---- 3. relighting ----------------------------------------------------
     R = rot_y(RELIGHT_DEG)
     gt_relit, _ = render_gt(
-        C2Wt, Kt, H, W, light_dir=R @ np.asarray(LIGHT_DIR, np.float32))
+        C2Wt, Kt, H, W,
+        lights=[(R @ d, c) for d, c in LIGHTS])
     p_mat = dict(params["envmap_material_network"])
     lgt = model.envmap_material_network.get_lgtSGs(params["envmap_material_network"])
     p_mat["lgtSGs"] = jnp.asarray(rotate_lightsg(np.asarray(lgt), R))

@@ -22,11 +22,24 @@ def sdf_np(p):
     return d.min(-1), d.argmin(-1)
 
 
-def render_gt(C2W, K, H, W, light_dir=LIGHT_DIR):
+LIGHT2_DIR = np.asarray([-0.5, 0.35, 0.75]) / np.linalg.norm([-0.5, 0.35, 0.75])
+LIGHT2_RGB = np.asarray([0.25, 0.30, 0.45], np.float32)  # dim cool fill
+
+
+def render_gt(C2W, K, H, W, light_dir=LIGHT_DIR, lights=None):
     """Coarse CPU ray march with hard shadows: enough structure for the A/B.
 
     `light_dir` is overridable so relighting benchmarks can produce ground
-    truth under a rotated light from the same analytic scene."""
+    truth under a rotated light from the same analytic scene.
+
+    `lights` — list of (direction, rgb) pairs, every one SHADOW-TRACED.
+    Default None keeps the legacy scene (one white light along `light_dir`
+    plus the unshadowed AMBIENT floor — the recorded A/B's scene). The
+    decomposition benchmark passes explicit lights instead: an unshadowed
+    ambient term is not representable by the SG-light + traced-visibility
+    model family, so with the legacy scene the optimizer is FORCED to bake
+    the model/scene mismatch into albedo; all-shadowed lights make the GT
+    physically consistent with what the method can recover."""
     v, u = np.mgrid[0:H, 0:W].astype(np.float32) + 0.5
     d_cam = np.stack([(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u)], -1)
     d_w = d_cam @ C2W[:3, :3].T
@@ -50,22 +63,35 @@ def render_gt(C2W, K, H, W, light_dir=LIGHT_DIR):
         sdf_np(p + [0, eps, 0])[0] - sdf_np(p - [0, eps, 0])[0],
         sdf_np(p + [0, 0, eps])[0] - sdf_np(p - [0, 0, eps])[0]], -1)
     n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-9
-    # hard shadow: march toward the light
-    sp = p + n * 2e-2
-    st = np.full((H, W), 2e-2, np.float32)
-    lit = np.ones((H, W), bool)
-    for _ in range(64):
-        q = sp + st[..., None] * light_dir
-        sq, _ = sdf_np(q)
-        lit &= ~(sq < 5e-4)
-        st += np.maximum(sq, 2e-3)
-    shade = np.clip((n @ light_dir), 0, 1) * lit + AMBIENT
-    img = ALBEDOS[comp] * np.clip(shade, 0, 1.1)[..., None]
+    def shadow_lit(ldir):
+        # hard shadow: march toward the light
+        sp = p + n * 2e-2
+        st = np.full((H, W), 2e-2, np.float32)
+        lit = np.ones((H, W), bool)
+        for _ in range(64):
+            q = sp + st[..., None] * ldir
+            sq, _ = sdf_np(q)
+            lit &= ~(sq < 5e-4)
+            st += np.maximum(sq, 2e-3)
+        return lit
+
+    if lights is None:  # legacy single-light + ambient scene
+        shade = np.clip((n @ light_dir), 0, 1) * shadow_lit(light_dir) + AMBIENT
+        shade_rgb = np.clip(shade, 0, 1.1)[..., None]
+    else:
+        shade_rgb = np.zeros((H, W, 3), np.float32)
+        for ldir, lrgb in lights:
+            ldir = np.asarray(ldir, np.float32)
+            shade_rgb = shade_rgb + np.asarray(lrgb, np.float32) * (
+                np.clip(n @ ldir, 0, 1) * shadow_lit(ldir)
+            )[..., None]
+        shade_rgb = np.clip(shade_rgb, 0, 1.1)
+    img = ALBEDOS[comp] * shade_rgb
     img = np.where(mask[..., None], img, 1.0)
     return img.astype(np.float32), mask
 
 
-def make_views(n, H, W, radius=2.0, light_dir=LIGHT_DIR):
+def make_views(n, H, W, radius=2.0, light_dir=LIGHT_DIR, lights=None):
     views = []
     f = W * 1.1
     K = np.eye(4, dtype=np.float32); K[0, 0] = K[1, 1] = f; K[0, 2] = W / 2; K[1, 2] = H / 2
@@ -78,7 +104,7 @@ def make_views(n, H, W, radius=2.0, light_dir=LIGHT_DIR):
         up = np.cross(fwd, right)
         C2W = np.eye(4, dtype=np.float32)
         C2W[:3, 0], C2W[:3, 1], C2W[:3, 2], C2W[:3, 3] = right, up, fwd, eye
-        img, mask = render_gt(C2W, K, H, W, light_dir=light_dir)
+        img, mask = render_gt(C2W, K, H, W, light_dir=light_dir, lights=lights)
         views.append((K, C2W, img, mask))
     return views
 

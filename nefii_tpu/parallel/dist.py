@@ -98,17 +98,57 @@ def make_global_batch(mesh: Mesh, batch: Dict[str, Any], specs: Dict[str, P]):
     }
 
 
+_replicators: Dict[Any, Any] = {}
+
+
+def _replicator(mesh: Mesh):
+    """Per-mesh cached jitted identity with replicated output sharding.
+
+    A fresh `jax.jit(lambda a: a, ...)` per call would miss the pjit cache
+    and re-trace the all-gather on every fetch; one cached callable per mesh
+    lets jit's own cache handle the different shapes/dtypes."""
+    fn = _replicators.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+        _replicators[mesh] = fn
+    return fn
+
+
 def to_host(x) -> np.ndarray:
     """Fetch an array (possibly sharded across processes) as host numpy.
 
-    Fully-addressable arrays come back directly. Cross-host-sharded global
-    arrays are resharded to replicated through a jitted identity (XLA
-    inserts the all-gather over whatever axes were sharded — correct for
-    any partition spec, unlike a leading-axis-only gather) and the local
-    replica is read out."""
+    Fully-addressable arrays come back directly; fully-replicated global
+    arrays read their local replica (no communication). Genuinely
+    cross-host-sharded arrays are resharded to replicated through a jitted
+    identity (XLA inserts the all-gather over whatever axes were sharded —
+    correct for any partition spec, unlike a leading-axis-only gather) —
+    that program is a COLLECTIVE, so every process of the mesh must call
+    to_host on the same array; for rank-0-only host logic on replicated
+    pytrees use `local_replica` instead."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        rep = jax.jit(
-            lambda a: a, out_shardings=NamedSharding(x.sharding.mesh, P())
-        )(x)
+        if x.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        rep = _replicator(x.sharding.mesh)(x)
         return np.asarray(rep.addressable_data(0))
     return np.asarray(x)
+
+
+def local_replica(tree):
+    """Host-local numpy copy of a REPLICATED pytree, collective-free.
+
+    Safe to call from a subset of processes (vis/checkpoint code that runs
+    under an `is_main()` gate), unlike `to_host`'s all-gather: every device
+    of a replicated array holds the full value, so the local shard IS the
+    value. Raises on an actually-sharded array rather than silently
+    returning a partial shard."""
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if not x.is_fully_replicated:
+                raise ValueError(
+                    "local_replica on a cross-host SHARDED array; use to_host "
+                    "(from every process) instead"
+                )
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)

@@ -194,17 +194,12 @@ def make_eval_forward(
         in_specs = (P(), batch_pspec(sample_batch, axis_name), P())
 
         def wrapped(params, batch, key):
+            # forward_with_uv emits every OVERFLOW_KEY unconditionally
+            # (models/idr.py:552-556), so the out_specs are static — no
+            # eval_shape probe (which would abstractly re-trace the whole
+            # forward per compile just to learn this)
             out_specs = {k: P(axis_name) for k in output_keys}
             out_specs.update({k: P() for k in overflow_keys})
-            # probe which overflow keys the model actually emits so the
-            # out_specs match the traced outputs
-            shaped = jax.eval_shape(
-                lambda p, b, kk: model.forward(p, b, kk, training=False),
-                params, batch, key,
-            )
-            for k in overflow_keys:
-                if shaped.get(k) is None:
-                    out_specs.pop(k)
             return shard_map(
                 local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             )(params, batch, key)

@@ -220,6 +220,7 @@ class GeometryTrainRunner:
         import imageio.v2 as imageio
         import jax.numpy as jnp
 
+        from nefii_tpu.parallel import dist
         from nefii_tpu.utils.camera import get_camera_params
         from nefii_tpu.utils.plots import depth_map
 
@@ -232,7 +233,10 @@ class GeometryTrainRunner:
         rays, cam = get_camera_params(uv, pose, K)
 
         imp = self.model.implicit_network
-        p_imp = self.params["implicit_network"]
+        # rank-0-only render: use a collective-free local replica of the
+        # (replicated) params — tracing through globally-sharded arrays from
+        # one process alone would raise or deadlock the other ranks
+        p_imp = dist.local_replica(self.params["implicit_network"])
         res = self.model.ray_tracer(
             lambda x: imp.sdf(p_imp, x), cam,
             jnp.asarray(sample["object_mask"]), rays,

@@ -736,6 +736,13 @@ class IDRTrainRunner:
                     if nb > sec.compact_budget:
                         sec = dc.replace(sec, compact_budget=nb)
                         changed.append(f"secondary compact_budget->{nb}")
+                if sec.minsdf_budget:
+                    # diff_geo renders run the secondary trace in training
+                    # mode, whose min-SDF fallback is budgeted too
+                    nb = min(2 * sec.minsdf_budget, 3 * n_local)
+                    if nb > sec.minsdf_budget:
+                        sec = dc.replace(sec, minsdf_budget=nb)
+                        changed.append(f"secondary minsdf_budget->{nb}")
             else:
                 if tracer.sampler_budget:
                     nb = min(2 * tracer.sampler_budget, 3 * n_local)
@@ -747,6 +754,11 @@ class IDRTrainRunner:
                     if nb > tracer.compact_budget:
                         tracer = dc.replace(tracer, compact_budget=nb)
                         changed.append(f"compact_budget->{nb} (shared secondary)")
+                if tracer.minsdf_budget:
+                    nb = min(2 * tracer.minsdf_budget, 3 * n_local)
+                    if nb > tracer.minsdf_budget:
+                        tracer = dc.replace(tracer, minsdf_budget=nb)
+                        changed.append(f"minsdf_budget->{nb} (shared secondary)")
         if counts.get("trace_overflow") and tracer.compact_budget:
             nb = min(2 * tracer.compact_budget, n_local)
             if nb > tracer.compact_budget:
@@ -843,9 +855,14 @@ class IDRTrainRunner:
             out["sg_rgb_values"].reshape(H, W, 3),
         )
         em = self.model.envmap_material_network
+        # rank-0-only host compute below: fetch collective-free local
+        # replicas — eager/jit ops on globally-sharded params from a single
+        # process would raise ("not fully addressable") or deadlock the
+        # other ranks at their next collective
+        p_mat = dist.local_replica(self.params["envmap_material_network"])
         env = np.asarray(
             compute_envmap(
-                em.get_lgtSGs(self.params["envmap_material_network"]),
+                em.get_lgtSGs(p_mat),
                 64, 128, coordinate_type=self.coordinate_type,
                 envmap_type="sg" if em.light_type == "sg" else "constant",
             )
@@ -856,7 +873,7 @@ class IDRTrainRunner:
             # reference exports meshes through plots during vis)
             from nefii_tpu.utils.plots import export_surface
 
-            p_imp = self.params["implicit_network"]
+            p_imp = dist.local_replica(self.params["implicit_network"])
             export_surface(
                 lambda x: self.model.implicit_network.sdf(p_imp, x),
                 os.path.join(self.plots_dir, f"surface_{it}.obj"),

@@ -46,9 +46,20 @@ def _path_str(kp) -> str:
     return "/".join(parts)
 
 
+def _leaf_to_numpy(v) -> np.ndarray:
+    # checkpoints are written under an is_main() gate; in multi-host runs
+    # the (replicated) leaves are not fully addressable and plain
+    # np.asarray raises — read the local replica instead (collective-free)
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        from nefii_tpu.parallel import dist
+
+        return dist.local_replica(v)
+    return np.asarray(v)
+
+
 def flatten_tree(tree) -> Dict[str, np.ndarray]:
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-    return {_path_str(kp): np.asarray(v) for kp, v in flat}
+    return {_path_str(kp): _leaf_to_numpy(v) for kp, v in flat}
 
 
 def unflatten_like(template, flat: Dict[str, np.ndarray]):
@@ -76,7 +87,7 @@ def save_collection(ckpt_dir: str, collection: str, tag, tree, extra: Optional[D
     flat = flatten_tree(tree)
     if extra:
         for k, v in extra.items():
-            flat[f"__extra__/{k}"] = np.asarray(v)
+            flat[f"__extra__/{k}"] = _leaf_to_numpy(v)
     path = os.path.join(d, f"{tag}.npz")
     np.savez(path + ".tmp.npz", **flat)
     os.replace(path + ".tmp.npz", path)

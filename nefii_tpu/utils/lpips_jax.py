@@ -183,5 +183,11 @@ def lpips_from_path(pred: np.ndarray, gt: np.ndarray,
     if not wp:
         raise FileNotFoundError("no LPIPS weights path given")
     if wp not in _CACHE:
-        _CACHE[wp] = load_weights(wp)
+        try:
+            _CACHE[wp] = load_weights(wp)
+        except FileNotFoundError as e:
+            # distinguish a USER-SUPPLIED bad path from the no-path sentinel
+            # above — callers treat FileNotFoundError as "no weights given"
+            # and would otherwise tell the user to set the path they set
+            raise RuntimeError(f"LPIPS weights path not found: {wp}") from e
     return lpips_distance(_CACHE[wp], pred, gt)

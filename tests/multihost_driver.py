@@ -148,6 +148,36 @@ def evaluate(mesh):
     return {"loss": loss_v, "gnorm": gnorm}
 
 
+def check_rank0_host_paths(mesh):
+    """Regression for the rank-0-only host paths (vis envmap/surface export,
+    checkpoint writes): on params placed GLOBALLY (replicated but not fully
+    addressable — what the trainer's params become after the first jitted
+    step), `dist.local_replica` and the checkpoint flattener must read the
+    local replica collective-free. A plain np.asarray there raises
+    "not fully addressable", and any collective would deadlock the other
+    ranks, which never enter the is_main() branch."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nefii_tpu.parallel import dist
+    from nefii_tpu.utils import checkpoints as ckpt
+
+    model, _, params, _, _ = build_case()
+    # all processes place (device_put to a multi-host sharding is itself a
+    # cooperative call); only rank 0 reads back
+    gparams = jax.device_put(params, NamedSharding(mesh, P()))
+    if not dist.is_main():
+        return True
+    ref = ckpt.flatten_tree(params)
+    local = ckpt.flatten_tree(dist.local_replica(gparams))
+    via_ckpt = ckpt.flatten_tree(gparams)
+    return all(
+        np.allclose(local[k], v) and np.allclose(via_ckpt[k], v)
+        for k, v in ref.items()
+    )
+
+
 def main():
     pid, nproc, port, devs = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
@@ -175,6 +205,7 @@ def main():
     res = evaluate(mesh)
     res["is_main"] = bool(dist.is_main())
     res["process_count"] = jax.process_count()
+    res["rank0_host_paths_ok"] = bool(check_rank0_host_paths(mesh))
     print("RESULT " + json.dumps(res), flush=True)
 
 

@@ -44,7 +44,17 @@ def test_single_process_degenerate():
     assert placed["uv"].sharding.spec == spmd.P(None, "ray")
 
 
-def _run_cluster(nproc=2, devs=2, port=23457):
+def _free_port() -> int:
+    # a hardcoded port collides when two suite runs share the machine
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_cluster(nproc=2, devs=2, port=None):
+    port = port or _free_port()
     procs = []
     for pid in range(nproc):
         env = dict(os.environ)
@@ -59,7 +69,10 @@ def _run_cluster(nproc=2, devs=2, port=23457):
         )
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # this box can be a SINGLE core: two cluster processes + the
+        # oracle timeshare it, and each XLA compile takes minutes when
+        # contended -- budget generously rather than flake
+        out, _ = p.communicate(timeout=1800)
         outs.append(out)
         assert p.returncode == 0, f"driver failed:\n{out[-3000:]}"
     results = []
@@ -93,7 +106,7 @@ def test_two_process_cluster_matches_single_process():
 
     results = _run_cluster(nproc=2, devs=2)
 
-    oracle_txt, _ = oracle_proc.communicate(timeout=600)
+    oracle_txt, _ = oracle_proc.communicate(timeout=1800)
     assert oracle_proc.returncode == 0, oracle_txt[-3000:]
     oracle = json.loads(
         [l for l in oracle_txt.splitlines() if l.startswith("RESULT ")][-1][7:]
@@ -103,3 +116,5 @@ def test_two_process_cluster_matches_single_process():
         assert r["process_count"] == 2
         np.testing.assert_allclose(r["loss"], oracle["loss"], rtol=1e-6)
         np.testing.assert_allclose(r["gnorm"], oracle["gnorm"], rtol=1e-5)
+        # rank-0-only host logic (vis/checkpoints) on globally-placed params
+        assert r["rank0_host_paths_ok"]

@@ -136,6 +136,32 @@ def test_budget_overflow_auto_escalates(scene_dir, tmp_path):
     assert runner2.model.ray_tracer.minsdf_budget == 2
 
 
+def test_secondary_escalation_covers_every_budget(scene_dir, tmp_path):
+    """The pooled secondary_overflow counter must escalate EVERY budgeted
+    secondary knob — sampler, trace-compaction AND min-SDF (diff_geo render
+    types run the secondary trace in training mode, whose min-SDF fallback
+    is budgeted too). A knob left out would warn forever without restoring
+    exactness."""
+    import dataclasses as dc
+
+    conf = parse_string(TRAIN_CONF)
+    runner = IDRTrainRunner(
+        conf=conf, data_split_dir=scene_dir, data_split_dir_test=scene_dir,
+        gamma=1.0, exps_folder_name=str(tmp_path / "exps"), nepochs=1,
+        secondary_train_interval=-1, memory_capacity_level=12,
+    )
+    sec = dc.replace(
+        runner.model.ray_tracer, sampler_budget=2, minsdf_budget=2,
+        compact_budget=2,
+    )
+    runner.model = dc.replace(runner.model, secondary_ray_tracer=sec)
+    runner._escalate_budgets({"secondary_overflow": 7})
+    sec2 = runner.model.secondary_ray_tracer
+    assert sec2.sampler_budget > 2
+    assert sec2.minsdf_budget > 2
+    assert sec2.compact_budget > 2
+
+
 def test_camera_adam_matches_torch_sparseadam():
     """The pose update machinery (optax.adam + touched-row masking +
     _mask_adam_rows, trainer.py:360-370) must reproduce
