@@ -80,3 +80,54 @@ def test_evaluate_script(scene_dir, trained_exp, tmp_path):
     assert "rgb" in result
     assert np.isfinite(result["rgb"]["psnr"][0])
     assert os.path.exists(str(tmp_path / "results.txt"))
+
+
+def test_vis_rotate_envlight_script(scene_dir, trained_exp, tmp_path):
+    """Relighting sweep CLI (reference scripts/vis_rotate_envlight.py):
+    rotating the light SGs by 180 deg must produce finite renders that
+    actually differ from the 0-deg render."""
+    from nefii_tpu.scripts import vis_rotate_envlight
+
+    exps_dir, timestamp = trained_exp
+    conf_path = str(tmp_path / "conf.conf")
+    with open(conf_path, "w") as f:
+        f.write(TRAIN_CONF)
+    out_dir = str(tmp_path / "rot")
+    vis_rotate_envlight.main([
+        "--conf", conf_path, "--data_split_dir", scene_dir,
+        "--old_expdir", os.path.join(exps_dir, "test_scene"),
+        "--timestamp", timestamp, "--gamma", "1.0",
+        "--num_rays", "1", "--memory_capacity_level", "12",
+        "--out_dir", out_dir, "--step_deg", "180",
+    ])
+    imgs = []
+    for ang in (0, 180):
+        d = os.path.join(out_dir, f"rot_{ang:03d}")
+        img = exr.read(os.path.join(d, "render.exr"))
+        assert np.isfinite(img).all(), ang
+        assert os.path.exists(os.path.join(d, "envmap.png")), ang
+        imgs.append(img)
+    assert not np.allclose(imgs[0], imgs[1])
+
+
+def test_idr_color_analyze_script(scene_dir, trained_exp, tmp_path):
+    """Radiance-cache hemisphere sweep CLI (reference
+    scripts/idr_color_analyze.py): writes one polar plot per queried pixel."""
+    from nefii_tpu.scripts import idr_color_analyze
+
+    exps_dir, timestamp = trained_exp
+    conf_path = str(tmp_path / "conf.conf")
+    with open(conf_path, "w") as f:
+        f.write(TRAIN_CONF)
+    out_dir = str(tmp_path / "colors")
+    idr_color_analyze.main([
+        "--conf", conf_path, "--data_split_dir", scene_dir,
+        "--old_expdir", os.path.join(exps_dir, "test_scene"),
+        "--timestamp", timestamp, "--gamma", "1.0",
+        "--memory_capacity_level", "12", "--out_dir", out_dir,
+        "--pixels", "8,8", "--n_theta", "4", "--n_phi", "8",
+    ])
+    import imageio.v2 as imageio
+
+    img = imageio.imread(os.path.join(out_dir, "idr_colors_px0.png"))
+    assert img.shape == (4, 8, 3)
