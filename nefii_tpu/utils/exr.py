@@ -6,14 +6,19 @@ binary download unavailable here, and neither cv2 nor imageio in this image
 has EXR support — so we implement the subset of the format the pipeline
 needs:
 
-  * read:  single-part scanline images, compression NONE / ZIPS / ZIP,
-           channel types HALF / FLOAT / UINT, arbitrary channel names
-           (returned in R,G,B[,A] order when present).
+  * read:  single-part scanline images, compression NONE / RLE / ZIPS /
+           ZIP / PIZ, channel types HALF / FLOAT / UINT, arbitrary channel
+           names (returned in R,G,B[,A] order when present).
   * write: RGB(A) scanline images, HALF or FLOAT, ZIP (16-line blocks)
            or NONE.
 
 The ZIP codec applies OpenEXR's byte-deinterleave + delta predictor around
-zlib, which is what every OpenEXR implementation emits.
+zlib, which is what every OpenEXR implementation emits. The PIZ decoder
+(bitmap LUT + Huffman + 2D wavelet, read-only) exists because real-world
+EXR assets default to PIZ in many tools — including the reference's own
+shipped `envmap*_sg_fit/tmp_envmap_100.exr` fixtures; it is validated
+against those (the fixture equals SG2Envmap of the neighbouring .npy,
+which our SG renderer reproduces independently).
 """
 
 from __future__ import annotations
@@ -30,7 +35,7 @@ PT_UINT, PT_HALF, PT_FLOAT = 0, 1, 2
 _DTYPES = {PT_UINT: np.uint32, PT_HALF: np.float16, PT_FLOAT: np.float32}
 
 NO_COMPRESSION, RLE, ZIPS, ZIP, PIZ = 0, 1, 2, 3, 4
-_LINES_PER_BLOCK = {NO_COMPRESSION: 1, ZIPS: 1, ZIP: 16}
+_LINES_PER_BLOCK = {NO_COMPRESSION: 1, RLE: 1, ZIPS: 1, ZIP: 16, PIZ: 32}
 
 
 # ---------------------------------------------------------------------------
@@ -65,11 +70,32 @@ def _predict(data: bytes) -> bytes:
     return (d % 256).astype(np.uint8).tobytes()
 
 
+def _rle_decompress(data: bytes) -> bytes:
+    """OpenEXR run-length codec (ImfRle.cpp): signed count byte — negative
+    means |count| literal bytes, non-negative means (count+1) copies of the
+    next byte. The result still carries the ZIP-style predictor+interleave."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        cnt = data[i]
+        i += 1
+        if cnt > 127:  # signed char < 0
+            cnt = 256 - cnt
+            out += data[i : i + cnt]
+            i += cnt
+        else:
+            out += data[i : i + 1] * (cnt + 1)
+            i += 1
+    return bytes(out)
+
+
 def _decompress(data: bytes, compression: int, expected: int) -> bytes:
     if compression == NO_COMPRESSION or len(data) == expected:
         return data
     if compression in (ZIP, ZIPS):
         return _unpredict(zlib.decompress(data))
+    if compression == RLE:
+        return _unpredict(_rle_decompress(data))
     raise NotImplementedError(f"EXR compression {compression} not supported")
 
 
@@ -80,6 +106,200 @@ def _compress(data: bytes, compression: int) -> bytes:
         out = zlib.compress(_predict(data))
         return out if len(out) < len(data) else data
     raise NotImplementedError(f"EXR compression {compression} not supported")
+
+
+# ---------------------------------------------------------------------------
+# PIZ (bitmap LUT + Huffman + 2D wavelet), decode only — ImfPizCompressor.cpp
+# ---------------------------------------------------------------------------
+
+_BITMAP_SIZE = 1 << 13  # 8192 bytes = 65536 bits
+
+
+def _huf_decompress(data: memoryview, n_out: int) -> np.ndarray:
+    """OpenEXR Huffman codec, decode side (ImfHuf.cpp hufUncompress).
+
+    Layout: 20-byte header (im, iM, tableLength, nBits, room as u32 LE),
+    then the bit-packed canonical code-length table for symbols im..iM
+    (6-bit entries; 59..62 = short zero runs of 2..5, 63 = long zero run of
+    getBits(8)+6), byte-flush, then nBits of MSB-first code data. Symbol iM
+    is the run-length marker: the next 8 bits repeat the previous output."""
+    im, iM, _, n_bits, _ = struct.unpack("<5I", data[:20])
+    pos = 20
+    c = 0
+    lc = 0
+
+    def getbits(n: int) -> int:
+        nonlocal pos, c, lc
+        while lc < n:
+            c = (c << 8) | data[pos]
+            pos += 1
+            lc += 8
+        lc -= n
+        return (c >> lc) & ((1 << n) - 1)
+
+    # --- unpack code lengths -------------------------------------------
+    lengths = np.zeros(iM + 1, np.int64)
+    i = im
+    while i <= iM:
+        l = getbits(6)
+        if l == 63:  # LONG_ZEROCODE_RUN
+            i += getbits(8) + 6  # SHORTEST_LONG_RUN
+        elif l >= 59:  # SHORT_ZEROCODE_RUN
+            i += l - 59 + 2
+        else:
+            lengths[i] = l
+            i += 1
+
+    # --- canonical codes (hufCanonicalCodeTable) ------------------------
+    counts = np.bincount(lengths, minlength=59)
+    base = np.zeros(59, np.int64)
+    cc = 0
+    for ln in range(58, 0, -1):
+        base[ln] = cc
+        cc = (cc + counts[ln]) >> 1
+    # per-symbol code values, assigned in increasing symbol order
+    codes_by_len: List[Dict[int, int]] = [dict() for _ in range(59)]
+    nxt = base.copy()
+    for sym in np.nonzero(lengths)[0]:
+        ln = int(lengths[sym])
+        codes_by_len[ln][int(nxt[ln])] = int(sym)
+        nxt[ln] += 1
+
+    # --- decode the bitstream -------------------------------------------
+    n_bytes = (n_bits + 7) >> 3
+    bits = np.unpackbits(
+        np.frombuffer(data[pos : pos + n_bytes], np.uint8)
+    ).tolist()
+    out = np.empty(n_out, np.uint16)
+    oi = 0
+    bi = 0
+    rlc = iM
+    while oi < n_out:
+        cur = 0
+        ln = 0
+        while True:
+            cur = (cur << 1) | bits[bi]
+            bi += 1
+            ln += 1
+            sym = codes_by_len[ln].get(cur)
+            if sym is not None:
+                break
+        if sym == rlc:
+            run = 0
+            for _ in range(8):
+                run = (run << 1) | bits[bi]
+                bi += 1
+            out[oi : oi + run] = out[oi - 1]
+            oi += run
+        else:
+            out[oi] = sym
+            oi += 1
+    return out
+
+
+def _wdec14(l: np.ndarray, h: np.ndarray):
+    hi = h.astype(np.int16).astype(np.int32)
+    ai = l.astype(np.int16).astype(np.int32) + (hi & 1) + (hi >> 1)
+    a = ai.astype(np.int16)
+    b = (a.astype(np.int32) - hi).astype(np.int16)
+    return a.astype(np.uint16), b.astype(np.uint16)
+
+
+def _wdec16(l: np.ndarray, h: np.ndarray):
+    m = l.astype(np.int64)
+    d = h.astype(np.int64)
+    bb = (m - (d >> 1)) & 0xFFFF
+    aa = (d + bb - 0x8000) & 0xFFFF
+    return aa.astype(np.uint16), bb.astype(np.uint16)
+
+
+def _wav2_decode(a: np.ndarray, max_value: int) -> None:
+    """In-place inverse of OpenEXR's 2D wavelet (ImfWav.cpp wav2Decode) on a
+    [ny, nx] uint16 array."""
+    dec = _wdec14 if max_value < (1 << 14) else _wdec16
+    ny, nx = a.shape
+    n = min(nx, ny)
+    p = 1
+    while p <= n:
+        p <<= 1
+    p >>= 1
+    p2 = p
+    p >>= 1
+    while p >= 1:
+        ys = np.arange(0, max(ny - p2, -1) + 1, p2)
+        xs = np.arange(0, max(nx - p2, -1) + 1, p2)
+        if len(ys) and len(xs):
+            Y, X = np.meshgrid(ys, xs, indexing="ij")
+            i00, i01 = a[Y, X], a[Y, X + p]
+            i10, i11 = a[Y + p, X], a[Y + p, X + p]
+            t00, t10 = dec(i00, i10)
+            t01, t11 = dec(i01, i11)
+            r00, r01 = dec(t00, t01)
+            r10, r11 = dec(t10, t11)
+            a[Y, X], a[Y, X + p] = r00, r01
+            a[Y + p, X], a[Y + p, X + p] = r10, r11
+        if (nx & p) and len(ys):  # odd remainder column: vertical pairs
+            x = (xs[-1] + p2) if len(xs) else 0
+            t0, t1 = dec(a[ys, x], a[ys + p, x])
+            a[ys, x], a[ys + p, x] = t0, t1
+        if (ny & p) and len(xs):  # odd remainder row: horizontal pairs
+            y = (ys[-1] + p2) if len(ys) else 0
+            t0, t1 = dec(a[y, xs], a[y, xs + p])
+            a[y, xs], a[y, xs + p] = t0, t1
+        p2 = p
+        p >>= 1
+
+
+def _piz_decompress(data: bytes, chans, W: int, n_lines: int) -> bytes:
+    """Decode one PIZ scanline block to the reader's expected layout
+    (per line, per channel in file order, W samples of the channel dtype)."""
+    mv = memoryview(data)
+    min_nz, max_nz = struct.unpack("<HH", mv[:4])
+    pos = 4
+    bitmap = np.zeros(_BITMAP_SIZE, np.uint8)
+    if min_nz <= max_nz:
+        nb = max_nz - min_nz + 1
+        bitmap[min_nz : max_nz + 1] = np.frombuffer(mv[pos : pos + nb], np.uint8)
+        pos += nb
+    # reverseLutFromBitmap: value 0 is always present
+    present = np.nonzero(np.unpackbits(bitmap, bitorder="little"))[0]
+    if len(present) == 0 or present[0] != 0:
+        present = np.concatenate([np.zeros(1, np.int64), present])
+    lut = np.zeros(1 << 16, np.uint16)
+    lut[: len(present)] = present
+    max_value = len(present) - 1
+
+    (length,) = struct.unpack("<i", mv[pos : pos + 4])
+    pos += 4
+
+    sizes = [1 if pt == PT_HALF else 2 for _, pt in chans]  # u16s per sample
+    total = n_lines * W * sum(sizes)
+    decoded = _huf_decompress(mv[pos : pos + length], total)
+
+    # per-channel 2D wavelet decode (each u16 plane of a channel separately),
+    # writing through views into `decoded`
+    off = 0
+    for s in sizes:
+        buf = decoded[off : off + n_lines * W * s].reshape(n_lines, W * s)
+        off += n_lines * W * s
+        for j in range(s):
+            plane = np.ascontiguousarray(buf[:, j::s])
+            _wav2_decode(plane, max_value)
+            buf[:, j::s] = plane
+
+    decoded = lut[decoded]  # applyLut
+
+    # reassemble to the reader's scanline-interleaved layout
+    off = 0
+    rows = []
+    for s in sizes:
+        rows.append(decoded[off : off + n_lines * W * s].reshape(n_lines, W * s))
+        off += n_lines * W * s
+    parts = []
+    for line in range(n_lines):
+        for cb in rows:
+            parts.append(cb[line].tobytes())
+    return b"".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -152,9 +372,12 @@ def read(path: str) -> np.ndarray:
         y, size = struct.unpack("<ii", data[boff : boff + 8])
         y -= y_min
         n_lines = min(lines_per_block, H - y)
-        raw = _decompress(
-            data[boff + 8 : boff + 8 + size], compression, n_lines * W * bytes_per_px
-        )
+        block = data[boff + 8 : boff + 8 + size]
+        expected = n_lines * W * bytes_per_px
+        if compression == PIZ and len(block) != expected:
+            raw = _piz_decompress(block, chans, W, n_lines)
+        else:
+            raw = _decompress(block, compression, expected)
         pos = 0
         for line in range(n_lines):
             for name, pt in chans:

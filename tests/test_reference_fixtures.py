@@ -80,3 +80,123 @@ def test_material_network_loads_reference_light_fit():
     lgt = net.get_lgtSGs(params)
     assert lgt.shape == (100, 7)
     assert bool(jnp.all(jnp.abs(lgt[:, 3]) > 0))
+
+
+@pytest.mark.parametrize("name", ["envmap1", "envmap2", "envmap3"])
+def test_piz_decode_reference_fit_exr(name):
+    """The shipped `tmp_envmap_100.exr` fit snapshots are PIZ-compressed
+    (the one compression the freeimage plugin emitted that ZIP readers
+    cannot touch) — decode them and check decoder-correctness invariants.
+    The snapshot is an SG render from a DIFFERENT fit step than the
+    sibling .npy (all three artifacts pairwise disagree), so no exact
+    golden exists; instead assert: (a) shape/finite/HDR-range sanity,
+    (b) the 8 independently-decoded 32-line PIZ blocks stitch seamlessly
+    (a block-level decode bug shows up as discontinuities at row
+    multiples of 32), and (c) the pole row (phi=0, where every SG render
+    of this scene is near-constant and step-independent) matches OUR SG
+    render of the sibling .npy to sub-1e-2."""
+    img = exr.read(os.path.join(REF, f"{name}_sg_fit", "tmp_envmap_100.exr"))
+    assert img.shape == (256, 512, 3)
+    assert np.isfinite(img).all() and img.min() >= 0 and 1.0 < img.max() < 100.0
+
+    row_diff = np.abs(np.diff(img, axis=0)).mean((1, 2))
+    seams = row_diff[31::32]
+    others = np.delete(row_diff, np.arange(31, len(row_diff), 32))
+    assert seams.mean() < 2.0 * others.mean()
+
+    lgt = np.load(os.path.join(REF, f"{name}_sg_fit", "tmp_lgtSGs_100.npy"))
+    env = np.asarray(sg.compute_envmap(jnp.asarray(lgt), 256, 512))
+    assert np.abs(img[0] - env[0]).max() < 1e-2
+
+
+def test_piz_wavelet_roundtrip():
+    """Our wav2 inverse must exactly invert OpenEXR's forward wavelet
+    (wav2Encode, re-implemented here from ImfWav.cpp) for both the 14-bit
+    and the mod-2^16 variants, including odd-size remainder paths."""
+    from nefii_tpu.utils.exr import _wav2_decode
+
+    def wenc14(a, b):
+        as_ = a.astype(np.int16).astype(np.int32)
+        bs = b.astype(np.int16).astype(np.int32)
+        ms = ((as_ + bs) >> 1).astype(np.int16)
+        ds = (as_ - bs).astype(np.int16)
+        return ms.astype(np.uint16), ds.astype(np.uint16)
+
+    def wenc16(a, b):
+        ao = (a.astype(np.int64) + 0x8000) & 0xFFFF
+        bo = b.astype(np.int64)
+        m = (ao + bo) >> 1
+        d = ao - bo
+        m = np.where(d < 0, (m + 0x8000) & 0xFFFF, m)
+        d = d & 0xFFFF
+        return m.astype(np.uint16), d.astype(np.uint16)
+
+    def wav2_encode(a, max_value):
+        enc = wenc14 if max_value < (1 << 14) else wenc16
+        ny, nx = a.shape
+        n = min(nx, ny)
+        p, p2 = 1, 2
+        while p2 <= n:
+            ys = np.arange(0, ny - p2 + 1, p2)
+            xs = np.arange(0, nx - p2 + 1, p2)
+            Y, X = np.meshgrid(ys, xs, indexing="ij")
+            i00, i01 = enc(a[Y, X], a[Y, X + p])
+            i10, i11 = enc(a[Y + p, X], a[Y + p, X + p])
+            r00, r10 = enc(i00, i10)
+            r01, r11 = enc(i01, i11)
+            a[Y, X], a[Y, X + p] = r00, r01
+            a[Y + p, X], a[Y + p, X + p] = r10, r11
+            if (nx & p) and len(ys):
+                x = xs[-1] + p2 if len(xs) else 0
+                t0, t1 = enc(a[ys, x], a[ys + p, x])
+                a[ys, x], a[ys + p, x] = t0, t1
+            if (ny & p) and len(xs):
+                y = ys[-1] + p2 if len(ys) else 0
+                t0, t1 = enc(a[y, xs], a[y, xs + p])
+                a[y, xs], a[y, xs + p] = t0, t1
+            p = p2
+            p2 <<= 1
+
+    rng = np.random.default_rng(3)
+    for shape in [(32, 512), (16, 16), (7, 13), (33, 65), (1, 9), (5, 1)]:
+        for mx in (1000, 40000):  # 14-bit and 16-bit variants
+            orig = rng.integers(0, mx + 1, shape).astype(np.uint16)
+            buf = orig.copy()
+            wav2_encode(buf, mx)
+            _wav2_decode(buf, mx)
+            np.testing.assert_array_equal(buf, orig, err_msg=f"{shape} mx={mx}")
+
+
+def test_rle_roundtrip():
+    """OpenEXR RLE codec: decode must invert a spec-faithful encoder
+    (signed count byte; negative = literals, non-negative = run of n+1)."""
+    from nefii_tpu.utils.exr import _rle_decompress
+
+    def rle_compress(data: bytes) -> bytes:
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            run = 1
+            while i + run < n and data[i + run] == data[i] and run < 127:
+                run += 1
+            if run >= 2:
+                out += bytes([run - 1, data[i]])
+                i += run
+            else:
+                j = i + 1
+                while (
+                    j < n and j - i < 127
+                    and not (j + 1 < n and data[j] == data[j + 1])
+                ):
+                    j += 1
+                out += bytes([256 - (j - i)]) + data[i:j]
+                i = j
+        return bytes(out)
+
+    rng = np.random.default_rng(5)
+    for payload in (
+        b"\x00" * 500,
+        rng.integers(0, 256, 300).astype(np.uint8).tobytes(),
+        rng.integers(0, 3, 400).astype(np.uint8).tobytes(),  # runs + literals
+    ):
+        assert _rle_decompress(rle_compress(payload)) == payload
