@@ -7,8 +7,8 @@ has EXR support — so we implement the subset of the format the pipeline
 needs:
 
   * read:  single-part scanline images, compression NONE / RLE / ZIPS /
-           ZIP / PIZ, channel types HALF / FLOAT / UINT, arbitrary channel
-           names (returned in R,G,B[,A] order when present).
+           ZIP / PIZ / PXR24, channel types HALF / FLOAT / UINT, arbitrary
+           channel names (returned in R,G,B[,A] order when present).
   * write: RGB(A) scanline images, HALF or FLOAT, ZIP (16-line blocks)
            or NONE.
 
@@ -34,8 +34,10 @@ MAGIC = b"\x76\x2f\x31\x01"
 PT_UINT, PT_HALF, PT_FLOAT = 0, 1, 2
 _DTYPES = {PT_UINT: np.uint32, PT_HALF: np.float16, PT_FLOAT: np.float32}
 
-NO_COMPRESSION, RLE, ZIPS, ZIP, PIZ = 0, 1, 2, 3, 4
-_LINES_PER_BLOCK = {NO_COMPRESSION: 1, RLE: 1, ZIPS: 1, ZIP: 16, PIZ: 32}
+NO_COMPRESSION, RLE, ZIPS, ZIP, PIZ, PXR24 = 0, 1, 2, 3, 4, 5
+_LINES_PER_BLOCK = {
+    NO_COMPRESSION: 1, RLE: 1, ZIPS: 1, ZIP: 16, PIZ: 32, PXR24: 16,
+}
 
 
 # ---------------------------------------------------------------------------
@@ -303,6 +305,41 @@ def _piz_decompress(data: bytes, chans, W: int, n_lines: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PXR24 (zlib over per-row per-channel byte planes of horizontally
+# delta-coded samples; FLOAT truncated to 24 bits), decode only —
+# ImfPxr24Compressor.cpp
+# ---------------------------------------------------------------------------
+
+def _pxr24_decompress(data: bytes, chans, W: int, n_lines: int) -> bytes:
+    raw = zlib.decompress(data)
+    src = np.frombuffer(raw, np.uint8)
+    pos = 0
+    out_rows = []
+    n_planes = {PT_HALF: 2, PT_FLOAT: 3, PT_UINT: 4}
+    for _ in range(n_lines):
+        for name, pt in chans:
+            k = n_planes[pt]
+            planes = [
+                src[pos + j * W : pos + (j + 1) * W].astype(np.uint32)
+                for j in range(k)
+            ]
+            pos += k * W
+            diff = np.zeros(W, np.uint32)
+            for pl in planes:
+                diff = (diff << 8) | pl
+            # horizontal delta accumulation, modulo the sample's bit width
+            pix = np.cumsum(diff.astype(np.uint64)).astype(np.uint32)
+            if pt == PT_HALF:
+                out_rows.append((pix & 0xFFFF).astype(np.uint16).tobytes())
+            elif pt == PT_FLOAT:
+                # stored value is the float's top 24 bits; restore by << 8
+                out_rows.append(((pix & 0xFFFFFF) << 8).astype(np.uint32).tobytes())
+            else:  # UINT — full 32 bits, uint32 cast already wraps
+                out_rows.append(pix.tobytes())
+    return b"".join(out_rows)
+
+
+# ---------------------------------------------------------------------------
 # header parsing
 # ---------------------------------------------------------------------------
 
@@ -376,6 +413,8 @@ def read(path: str) -> np.ndarray:
         expected = n_lines * W * bytes_per_px
         if compression == PIZ and len(block) != expected:
             raw = _piz_decompress(block, chans, W, n_lines)
+        elif compression == PXR24 and len(block) != expected:
+            raw = _pxr24_decompress(block, chans, W, n_lines)
         else:
             raw = _decompress(block, compression, expected)
         pos = 0

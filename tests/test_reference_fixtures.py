@@ -200,3 +200,70 @@ def test_rle_roundtrip():
         rng.integers(0, 3, 400).astype(np.uint8).tobytes(),  # runs + literals
     ):
         assert _rle_decompress(rle_compress(payload)) == payload
+
+
+def test_pxr24_decode_roundtrip(tmp_path):
+    """PXR24 decode must invert a spec-faithful encoder (zlib over per-row
+    per-channel byte planes of horizontally delta-coded samples, FLOAT
+    truncated to its top 24 bits — ImfPxr24Compressor.cpp), driven through
+    a complete EXR file."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(7)
+    H, W = 21, 33
+    img = (rng.random((H, W, 3)).astype(np.float32) * 10).astype(np.float32)
+
+    def pxr24_block(rows):  # rows: [n, W, 3] float32, channel order B,G,R
+        parts = []
+        for r in range(rows.shape[0]):
+            for ci in (2, 1, 0):  # B, G, R = alphabetical channel order
+                bits = rows[r, :, ci].view(np.uint32)
+                pix24 = (bits >> 8).astype(np.uint32)  # truncate (no rounding)
+                prev = np.concatenate([[np.uint32(0)], pix24[:-1]])
+                diff = (pix24 - prev).astype(np.uint32)
+                for shift in (16, 8, 0):
+                    parts.append(((diff >> shift) & 0xFF).astype(np.uint8).tobytes())
+        raw = b"".join(parts)
+        return zlib.compress(raw)
+
+    # assemble a minimal EXR with compression=5 (PXR24), 16-line blocks
+    def attr(name, typ, val):
+        return (name.encode() + b"\0" + typ.encode() + b"\0"
+                + struct.pack("<i", len(val)) + val)
+
+    chlist = b""
+    for n in ("B", "G", "R"):
+        chlist += n.encode() + b"\0" + struct.pack("<i", exr.PT_FLOAT)
+        chlist += struct.pack("<BBBB", 0, 0, 0, 0) + struct.pack("<ii", 1, 1)
+    chlist += b"\0"
+    box = struct.pack("<4i", 0, 0, W - 1, H - 1)
+    header = exr.MAGIC + struct.pack("<i", 2)
+    header += attr("channels", "chlist", chlist)
+    header += attr("compression", "compression", bytes([exr.PXR24]))
+    header += attr("dataWindow", "box2i", box)
+    header += attr("displayWindow", "box2i", box)
+    header += attr("lineOrder", "lineOrder", b"\0")
+    header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += attr("screenWindowCenter", "v2f", struct.pack("<2f", 0.0, 0.0))
+    header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\0"
+
+    n_blocks = -(-H // 16)
+    blocks = [pxr24_block(img[b * 16 : b * 16 + 16]) for b in range(n_blocks)]
+    pos = len(header) + 8 * n_blocks
+    offsets = []
+    for blk in blocks:
+        offsets.append(pos)
+        pos += 8 + len(blk)
+    path = str(tmp_path / "pxr24.exr")
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(struct.pack(f"<{n_blocks}q", *offsets))
+        for b, blk in enumerate(blocks):
+            f.write(struct.pack("<ii", b * 16, len(blk)))
+            f.write(blk)
+
+    back = exr.read(path)
+    # lossy: the low mantissa byte is dropped -> <= 2^-16 relative error
+    np.testing.assert_allclose(back, img, rtol=2 ** -15, atol=0)
