@@ -28,7 +28,8 @@ novel-view PSNR can fake:
    types (its vis_rotate_envlight sweeps share it) that compresses the
    relight-vs-control margin on scenes with strong occlusion.
 
-Usage: python decomposition_recovery.py <iters> <seed> <out.json> [res] [views]
+Usage: python decomposition_recovery.py <iters> <seed> <out.json> \
+           [res] [views] [variant: reduced|exact]
 """
 import json
 import os
@@ -40,6 +41,7 @@ import numpy as np
 N_ITERS, SEED, OUT = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 RES = int(sys.argv[4]) if len(sys.argv) > 4 else 48
 N_VIEWS = int(sys.argv[5]) if len(sys.argv) > 5 else 7  # train = views - 1
+VARIANT = sys.argv[6] if len(sys.argv) > 6 else "reduced"
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)                    # bench_fit, synthetic_scene
@@ -127,7 +129,7 @@ def surface_samples(n_per_sphere, seed, eyes=None):
 def main():
     views = make_views(N_VIEWS, H, W, lights=LIGHTS)
     train_views, test_view = views[:-1], views[-1]
-    model = build_model("reduced")
+    model = build_model(VARIANT)
 
     t0 = time.time()
     params = run_training(
@@ -154,7 +156,7 @@ def main():
         return out["sg_rgb_values"], out["network_object_mask"]
 
     results = {"iters": N_ITERS, "seed": SEED, "res": RES,
-               "train_views": N_VIEWS - 1}
+               "train_views": N_VIEWS - 1, "variant": VARIANT}
 
     # ---- 1. held-out novel-view re-render --------------------------------
     rgb, hit = eval_render(params)
