@@ -86,21 +86,15 @@ def _visible_from_any(p, n, eyes):
     """Occlusion-checked visibility of surface points from >=1 camera eye.
     Albedo at never-observed points is unsupervised — scoring it would
     measure extrapolation, not decomposition."""
+    from synthetic_scene import march_blocked
+
     vis = np.zeros(len(p), bool)
     for e in eyes:
         d = e - p
         dist = np.linalg.norm(d, axis=-1)
         d = d / (dist[:, None] + 1e-9)
         front = (n * d).sum(-1) > 0.1
-        # sphere-march from the point toward the eye; blocked if the march
-        # re-enters the surface before covering the distance
-        t = np.full(len(p), 2e-2, np.float32)
-        blocked = np.zeros(len(p), bool)
-        for _ in range(64):
-            s, _ = sdf_np(p + t[:, None] * d)
-            blocked |= (s < 5e-4) & (t < dist - 1e-2)
-            t += np.maximum(s, 2e-3)
-        vis |= front & ~blocked
+        vis |= front & ~march_blocked(p, d, max_dist=dist)
     return vis
 
 

@@ -22,6 +22,23 @@ def sdf_np(p):
     return d.min(-1), d.argmin(-1)
 
 
+def march_blocked(origin, dirs, max_dist=None, n_steps=64):
+    """Sphere-march from `origin` along `dirs`; True where the march
+    re-enters the surface (before `max_dist` when given). One home for the
+    march constants, shared by the GT shadow rays and the benchmark's
+    camera-visibility filter."""
+    t = np.full(origin.shape[:-1], 2e-2, np.float32)
+    blocked = np.zeros(origin.shape[:-1], bool)
+    for _ in range(n_steps):
+        s, _ = sdf_np(origin + t[..., None] * dirs)
+        hit = s < 5e-4
+        if max_dist is not None:
+            hit = hit & (t < max_dist - 1e-2)
+        blocked |= hit
+        t += np.maximum(s, 2e-3)
+    return blocked
+
+
 LIGHT2_DIR = np.asarray([-0.5, 0.35, 0.75]) / np.linalg.norm([-0.5, 0.35, 0.75])
 LIGHT2_RGB = np.asarray([0.25, 0.30, 0.45], np.float32)  # dim cool fill
 
@@ -64,16 +81,8 @@ def render_gt(C2W, K, H, W, light_dir=LIGHT_DIR, lights=None):
         sdf_np(p + [0, 0, eps])[0] - sdf_np(p - [0, 0, eps])[0]], -1)
     n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-9
     def shadow_lit(ldir):
-        # hard shadow: march toward the light
-        sp = p + n * 2e-2
-        st = np.full((H, W), 2e-2, np.float32)
-        lit = np.ones((H, W), bool)
-        for _ in range(64):
-            q = sp + st[..., None] * ldir
-            sq, _ = sdf_np(q)
-            lit &= ~(sq < 5e-4)
-            st += np.maximum(sq, 2e-3)
-        return lit
+        # hard shadow: march toward the light from a normal-offset start
+        return ~march_blocked(p + n * 2e-2, ldir)
 
     if lights is None:  # legacy single-light + ambient scene
         shade = np.clip((n @ light_dir), 0, 1) * shadow_lit(light_dir) + AMBIENT

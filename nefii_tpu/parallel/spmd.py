@@ -186,8 +186,10 @@ def make_eval_forward(
         out = model.forward(params, batch, key, training=False)
         res = {k: out[k] for k in output_keys}
         for k in overflow_keys:
-            if out.get(k) is not None:
-                res[k] = jax.lax.psum(jnp.asarray(out[k], jnp.int32), axis_name)
+            # forward_with_uv emits every overflow key unconditionally
+            # (models/idr.py:552-556) and the static out_specs below rely on
+            # it — fail loudly here if a future variant breaks the invariant
+            res[k] = jax.lax.psum(jnp.asarray(out[k], jnp.int32), axis_name)
         return res
 
     def build(sample_batch):

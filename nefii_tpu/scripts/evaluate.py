@@ -57,8 +57,16 @@ def evaluate_rgb(pre_path, gt_path, mask_path, align=False, tonemap=True,
         try:
             out["lpips"] = metrics.lpips(pre_masked, gt_masked)
         except RuntimeError as e:
+            # remember WHY (bad weights path vs no weights at all) so the
+            # results.txt row reports the real cause instead of telling a
+            # user who already set $NEFII_LPIPS_WEIGHTS to set it
+            global _LPIPS_ERROR
+            _LPIPS_ERROR = str(e)
             out["lpips"] = float("nan")
     return out
+
+
+_LPIPS_ERROR = ""
 
 
 def evaluate_raw(pre_path, gt_path, mask_path) -> Dict[str, float]:
@@ -130,11 +138,13 @@ def main(prediction_dir: str, gt_path: str, out_path: Optional[str] = None):
             mean = np.mean(vals)
             if metric == "lpips" and not np.isfinite(mean):
                 # reference evaluate.py:116,154 reports LPIPS-alex; the
-                # pretrained weights cannot be fetched offline — say so
+                # pretrained weights cannot be fetched offline — say WHY
                 # explicitly instead of silently omitting the row
-                lines.append(f"{item}.{metric}: unavailable (supply AlexNet "
-                             "weights via $NEFII_LPIPS_WEIGHTS — see "
-                             "utils/lpips_jax.py)")
+                reason = _LPIPS_ERROR or (
+                    "supply AlexNet weights via $NEFII_LPIPS_WEIGHTS — see "
+                    "utils/lpips_jax.py"
+                )
+                lines.append(f"{item}.{metric}: unavailable ({reason})")
             else:
                 lines.append(f"{item}.{metric}: {mean:.6f}")
     report = "\n".join(lines)

@@ -126,31 +126,35 @@ def _huf_decompress(data: memoryview, n_out: int) -> np.ndarray:
     getBits(8)+6), byte-flush, then nBits of MSB-first code data. Symbol iM
     is the run-length marker: the next 8 bits repeat the previous output."""
     im, iM, _, n_bits, _ = struct.unpack("<5I", data[:20])
-    pos = 20
+    dat = bytes(data[20:])
+    pos = 0
     c = 0
     lc = 0
 
-    def getbits(n: int) -> int:
-        nonlocal pos, c, lc
-        while lc < n:
-            c = (c << 8) | data[pos]
-            pos += 1
-            lc += 8
-        lc -= n
-        return (c >> lc) & ((1 << n) - 1)
-
-    # --- unpack code lengths -------------------------------------------
+    # --- unpack code lengths (inline bit reads: a closure-based reader
+    # costs ~9 us/call through nonlocal access — 3+ s per image) ----------
     lengths = np.zeros(iM + 1, np.int64)
     i = im
     while i <= iM:
-        l = getbits(6)
+        while lc < 6:
+            c = (c << 8) | dat[pos]
+            pos += 1
+            lc += 8
+        lc -= 6
+        l = (c >> lc) & 63
         if l == 63:  # LONG_ZEROCODE_RUN
-            i += getbits(8) + 6  # SHORTEST_LONG_RUN
+            while lc < 8:
+                c = (c << 8) | dat[pos]
+                pos += 1
+                lc += 8
+            lc -= 8
+            i += ((c >> lc) & 0xFF) + 6  # run = getBits(8) + SHORTEST_LONG_RUN
         elif l >= 59:  # SHORT_ZEROCODE_RUN
             i += l - 59 + 2
         else:
             lengths[i] = l
             i += 1
+        c &= (1 << lc) - 1
 
     # --- canonical codes (hufCanonicalCodeTable) ------------------------
     counts = np.bincount(lengths, minlength=59)
@@ -168,29 +172,85 @@ def _huf_decompress(data: memoryview, n_out: int) -> np.ndarray:
         nxt[ln] += 1
 
     # --- decode the bitstream -------------------------------------------
+    # OpenEXR's HUF_DECBITS scheme, widened: one 16-bit-window table lookup
+    # per symbol (with tens of thousands of active symbols the typical code
+    # is 15-18 bits, so a 14-bit table would long-path most symbols);
+    # longer codes extend bit by bit. Invariant: `c` holds exactly `lc`
+    # significant bits.
+    DECB = 16
+    tbl = [0] * (1 << DECB)
+    for ln in range(1, DECB + 1):
+        span = 1 << (DECB - ln)
+        entry_shift = DECB - ln
+        for code, sym in codes_by_len[ln].items():
+            lo = code << entry_shift
+            if span == 1:
+                tbl[lo] = (sym << 6) | ln
+            else:
+                tbl[lo : lo + span] = [(sym << 6) | ln] * span
+
     n_bytes = (n_bits + 7) >> 3
-    bits = np.unpackbits(
-        np.frombuffer(data[pos : pos + n_bytes], np.uint8)
-    ).tolist()
+    buf = dat[pos : pos + n_bytes]
+    nb = len(buf)
     out = np.empty(n_out, np.uint16)
     oi = 0
-    bi = 0
     rlc = iM
+    c = 0
+    lc = 0
+    ip = 0
+
+    def _truncated():
+        return ValueError("corrupt PIZ: Huffman bitstream truncated")
+
     while oi < n_out:
-        cur = 0
-        ln = 0
-        while True:
-            cur = (cur << 1) | bits[bi]
-            bi += 1
-            ln += 1
-            sym = codes_by_len[ln].get(cur)
-            if sym is not None:
-                break
+        while lc < DECB and ip < nb:
+            c = (c << 8) | buf[ip]
+            ip += 1
+            lc += 8
+        if lc == 0:
+            raise _truncated()
+        window = ((c >> (lc - DECB)) if lc >= DECB else (c << (DECB - lc))) & 0xFFFF
+        e = tbl[window]
+        if e:
+            ln = e & 63
+            if ln > lc:
+                raise _truncated()
+            sym = e >> 6
+            lc -= ln
+            c &= (1 << lc) - 1
+        else:
+            # long code (>14 bits): extend bit by bit from the same stream
+            cur = 0
+            ln = 0
+            sym = None
+            while sym is None:
+                if lc == 0:
+                    if ip >= nb:
+                        raise _truncated()
+                    c = buf[ip]
+                    ip += 1
+                    lc = 8
+                cur = (cur << 1) | ((c >> (lc - 1)) & 1)
+                lc -= 1
+                c &= (1 << lc) - 1
+                ln += 1
+                if ln > 58:
+                    raise ValueError("corrupt PIZ: no Huffman code matches")
+                sym = codes_by_len[ln].get(cur)
         if sym == rlc:
-            run = 0
-            for _ in range(8):
-                run = (run << 1) | bits[bi]
-                bi += 1
+            while lc < 8 and ip < nb:
+                c = (c << 8) | buf[ip]
+                ip += 1
+                lc += 8
+            if lc < 8:
+                raise _truncated()
+            run = (c >> (lc - 8)) & 0xFF
+            lc -= 8
+            c &= (1 << lc) - 1
+            # OpenEXR errors on a leading or overshooting run — a silent
+            # clip would hand corrupt pixels downstream
+            if oi == 0 or oi + run > n_out:
+                raise ValueError("corrupt PIZ: bad run-length")
             out[oi : oi + run] = out[oi - 1]
             oi += run
         else:
