@@ -336,8 +336,18 @@ def bench_aa_render():
         for i in range(3):
             key = jax.random.PRNGKey(10 + i)
             t0 = time.perf_counter()
-            float(np.asarray(render(params, uv + i * 1e-4, key)[0]).sum())
+            rgb_i, ovf_i = render(params, uv + i * 1e-4, key)
+            float(np.asarray(rgb_i).sum())
             times.append(time.perf_counter() - t0)
+            # the overflow-free claim must hold for the MEASURED runs, whose
+            # jittered uv + fresh keys can push different ray counts into the
+            # budgeted fallbacks than the warmup did (read after the clock
+            # stops; the rgb sum above already forced completion)
+            ovf_i = {k: int(v)
+                     for k, v in zip(OVERFLOW_KEYS, np.asarray(ovf_i)) if v}
+            if ovf_i:
+                overflow = {**(overflow if isinstance(overflow, dict) else {}),
+                            **ovf_i}
         times.sort()
         rates[fast] = S / times[len(times) // 2]
     return rates[True], rates[False], overflow
@@ -448,6 +458,12 @@ def bench_train_step():
             )
             float(ld["loss"])  # host readback forces remote completion
             times.append(time.perf_counter() - t0)
+            # count overflow in the TIMED runs too — their PRNGKey(100+i)
+            # sampler/min-SDF step vectors differ from the warmup's, so the
+            # proof must come from the runs actually measured (read after
+            # the clock stops; the loss readback forced completion)
+            overflow += sum(
+                int(np.asarray(ld[k])) for k in OVERFLOW_KEYS if k in ld)
     times.sort()
     return times[len(times) // 2], overflow
 

@@ -677,9 +677,12 @@ class IDRTrainRunner:
         self-corrects back to exact semantics. Static shapes stay static
         within a compile; exactness is restored across compiles, bounded by
         log2(ray count) recompiles per budget."""
-        counts = {
-            k: int(loss_dict[k]) for k in self._OVERFLOW_KEYS if k in loss_dict
-        }
+        # ONE batched host transfer for all counters (device_get starts every
+        # copy async then blocks once) — per-key int() cost 5 tunnel round
+        # trips per step. The step already syncs on the NaN-guard loss fetch,
+        # so this adds a single transfer, not a new sync point.
+        present = {k: loss_dict[k] for k in self._OVERFLOW_KEYS if k in loss_dict}
+        counts = {k: int(v) for k, v in jax.device_get(present).items()}
         if not any(counts.values()):
             return
         if self.is_main:
@@ -701,7 +704,13 @@ class IDRTrainRunner:
         import dataclasses as dc
 
         R = max(self.num_rays, 1)
-        n_local = -(-self.batch_size * self.num_pixels * R // self.world_size)
+        # view-diff pairing concatenates a full paired view along the ray
+        # axis (_append_paired_view), doubling the per-step ray count — the
+        # "trivially exact" cap must cover the doubled count or escalation
+        # saturates at half the true ray count and never restores exactness
+        pair_mult = 2 if self.loss.view_diff_weight > 0 else 1
+        n_local = -(-self.batch_size * self.num_pixels * R * pair_mult
+                    // self.world_size)
         tracer = self.model.ray_tracer
         sec = self.model.secondary_ray_tracer
         changed = []

@@ -471,9 +471,19 @@ def read(path: str) -> np.ndarray:
         n_lines = min(lines_per_block, H - y)
         block = data[boff + 8 : boff + 8 + size]
         expected = n_lines * W * bytes_per_px
-        if compression == PIZ and len(block) != expected:
+        # OpenEXR writers store a block RAW whenever compression doesn't
+        # shrink it, so a valid block is never larger than the raw size:
+        # route `< expected` to the decoder, `== expected` through as raw,
+        # and reject `> expected` as corruption instead of feeding the
+        # decoders an oversized stream (opaque struct/zlib errors)
+        if len(block) > expected:
+            raise ValueError(
+                f"corrupt EXR: block {bi} is {len(block)} bytes, larger "
+                f"than its {expected}-byte raw scanline size"
+            )
+        if compression == PIZ and len(block) < expected:
             raw = _piz_decompress(block, chans, W, n_lines)
-        elif compression == PXR24 and len(block) != expected:
+        elif compression == PXR24 and len(block) < expected:
             raw = _pxr24_decompress(block, chans, W, n_lines)
         else:
             raw = _decompress(block, compression, expected)

@@ -190,4 +190,12 @@ def lpips_from_path(pred: np.ndarray, gt: np.ndarray,
             # above — callers treat FileNotFoundError as "no weights given"
             # and would otherwise tell the user to set the path they set
             raise RuntimeError(f"LPIPS weights path not found: {wp}") from e
-    return lpips_distance(_CACHE[wp], pred, gt)
+        except Exception as e:
+            # only LOAD failures earn the weights-failed label; a later
+            # compute failure (bad image shape, lowering error) must not
+            # send the user to debug a weights path that loaded fine
+            raise RuntimeError(f"LPIPS weights failed to load: {e}") from e
+    try:
+        return lpips_distance(_CACHE[wp], pred, gt)
+    except Exception as e:
+        raise RuntimeError(f"LPIPS computation failed: {e}") from e

@@ -118,8 +118,9 @@ def lpips(pred: np.ndarray, gt: np.ndarray, weights_path: Optional[str] = None) 
         return lpips_jax.lpips_from_path(pred, gt, weights_path)
     except FileNotFoundError:
         pass  # no weights supplied — try the torch package below
-    except Exception as e:
-        raise RuntimeError(f"LPIPS weights failed to load: {e}")
+    # RuntimeError from lpips_from_path carries the accurate cause
+    # (path not found / weights failed to load / computation failed) —
+    # propagate it untouched so results.txt reports the real reason
     try:
         import lpips as lpips_pkg  # pragma: no cover
         import torch

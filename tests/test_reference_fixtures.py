@@ -267,3 +267,30 @@ def test_pxr24_decode_roundtrip(tmp_path):
     back = exr.read(path)
     # lossy: the low mantissa byte is dropped -> <= 2^-16 relative error
     np.testing.assert_allclose(back, img, rtol=2 ** -15, atol=0)
+
+
+def test_exr_oversized_block_rejected(tmp_path):
+    """OpenEXR writers store a block raw whenever compression doesn't shrink
+    it, so a stored block larger than its raw scanline size only occurs on
+    corruption — the reader must reject it cleanly instead of feeding the
+    decoders an oversized stream (opaque struct/zlib errors or garbage)."""
+    import struct
+
+    path = str(tmp_path / "small.exr")
+    exr.write(path, np.zeros((4, 4, 3), np.float32))  # one ZIP block
+    with open(path, "rb") as f:
+        data = bytearray(f.read())
+
+    from nefii_tpu.utils.exr import _parse_header
+
+    _, table_off = _parse_header(bytes(data))
+    (boff,) = struct.unpack("<q", data[table_off : table_off + 8])
+    expected = 4 * 4 * 3 * 4  # n_lines * W * bytes_per_px (fp32 RGB)
+    oversize = expected + 8
+    data[boff + 4 : boff + 8] = struct.pack("<i", oversize)
+    data += b"\0" * oversize  # make the oversized slice materialise fully
+    with open(path, "wb") as f:
+        f.write(bytes(data))
+
+    with pytest.raises(ValueError, match="corrupt EXR"):
+        exr.read(path)

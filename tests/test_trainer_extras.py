@@ -162,6 +162,40 @@ def test_secondary_escalation_covers_every_budget(scene_dir, tmp_path):
     assert sec2.compact_budget > 2
 
 
+def test_escalation_cap_covers_view_diff_pairing(scene_dir, tmp_path):
+    """view-diff pairing concatenates a full paired view along the ray axis
+    (_append_paired_view), doubling the per-step ray count — the escalation
+    cap ('never beyond the ray count, where budgets are trivially exact')
+    must cover the DOUBLED count, or a budget stuck at the unpaired count
+    warns forever without restoring exactness."""
+    import dataclasses as dc
+
+    conf = parse_string(TRAIN_CONF)
+    runner = IDRTrainRunner(
+        conf=conf, data_split_dir=scene_dir, data_split_dir_test=scene_dir,
+        gamma=1.0, exps_folder_name=str(tmp_path / "exps"), nepochs=1,
+        secondary_train_interval=-1, memory_capacity_level=12,
+    )
+    # 64 pixels x R=1 over 8 devices -> 8 rays/shard unpaired
+    n_unpaired = -(-runner.batch_size * runner.num_pixels
+                   * max(runner.num_rays, 1) // runner.world_size)
+    runner.model = dc.replace(
+        runner.model,
+        ray_tracer=dc.replace(runner.model.ray_tracer,
+                              sampler_budget=n_unpaired),
+    )
+
+    # without pairing the budget already sits at the cap: no change
+    assert runner.loss.view_diff_weight == 0
+    runner._escalate_budgets({"sampler_overflow": 3})
+    assert runner.model.ray_tracer.sampler_budget == n_unpaired
+
+    # with view-diff pairing active the true per-shard count is doubled
+    runner.loss = dc.replace(runner.loss, view_diff_weight=0.1)
+    runner._escalate_budgets({"sampler_overflow": 3})
+    assert runner.model.ray_tracer.sampler_budget == 2 * n_unpaired
+
+
 def test_camera_adam_matches_torch_sparseadam():
     """The pose update machinery (optax.adam + touched-row masking +
     _mask_adam_rows, trainer.py:360-370) must reproduce
