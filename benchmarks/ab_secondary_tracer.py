@@ -8,7 +8,12 @@ workflow), materials+light trained with pt_render_indirect_mlp + secondary
 self-distillation every 10 iters. Reports held-out SG-render PSNR every 2000
 iterations.
 
-Usage: python ab.py <variant: exact|reduced> <seed> <iters> <out.json>
+Usage: python ab.py <variant: exact|reduced|fused|bf16> <seed> <iters> <out.json>
+
+The fused/bf16 variants reuse this harness for the bf16-trace A/B (VERDICT
+r3 #4): both arms run the reduced secondary tracer + the fused Pallas SDF
+kernel (the shipped confs/conf.conf default), differing ONLY in
+fused_sdf_dtype (float32 vs bfloat16). TPU-only.
 """
 import json
 import sys

@@ -29,7 +29,7 @@ novel-view PSNR can fake:
    relight-vs-control margin on scenes with strong occlusion.
 
 Usage: python decomposition_recovery.py <iters> <seed> <out.json> \
-           [res] [views] [variant: reduced|exact]
+           [res] [views] [variant: reduced|exact|fused|bf16]
 """
 import json
 import os

@@ -169,21 +169,31 @@ model{
 
 
 def build_model(variant="reduced"):
-    """The benchmark model; variant selects the secondary tracer
-    ("exact" = reference iteration counts, "reduced" = the shipped
-    confs/conf.conf secondary_ray_tracer)."""
+    """The benchmark model; variant selects the secondary tracer and the
+    fused-SDF knobs:
+      "exact"   — reference secondary-tracer iteration counts
+      "reduced" — the shipped confs/conf.conf secondary_ray_tracer
+      "fused"   — reduced + use_fused_sdf (Pallas kernel, fp32): the shipped
+                  confs/conf.conf default; TPU-only, A/B control arm
+      "bf16"    — fused with fused_sdf_dtype=bfloat16: the candidate arm of
+                  the bf16-trace A/B (VERDICT r3 #4)"""
     import dataclasses as dc
 
     from nefii_tpu.config import parse_string
     from nefii_tpu.models.idr import IDRNetwork
 
     model = IDRNetwork.from_conf(parse_string(MODEL_CONF).get_config("model"))
-    if variant == "reduced":
+    if variant != "exact":
         sec = dc.replace(
             model.ray_tracer, sphere_tracing_iters=5, line_step_iters=0,
             n_steps=50, n_rootfind_steps=16,
         )
         model = dc.replace(model, secondary_ray_tracer=sec)
+    if variant in ("fused", "bf16"):
+        model = dc.replace(
+            model, use_fused_sdf=True,
+            fused_sdf_dtype="bfloat16" if variant == "bf16" else "float32",
+        )
     return model
 
 

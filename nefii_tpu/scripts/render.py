@@ -34,6 +34,11 @@ def add_argument(parser):
     parser.add_argument("--out_dir", type=str, default="")
     parser.add_argument("--max_views", type=int, default=-1)
     parser.add_argument("--envmap_size", type=int, nargs=2, default=[256, 512])
+    parser.add_argument("--export_mesh_resolution", type=int, default=0,
+                        help="when > 0, also export the high-res geometry "
+                             "via the two-stage coarse-to-fine extraction "
+                             "(reference utils/plots.py:169-241) with this "
+                             "many samples on the shortest bbox axis")
     return parser
 
 
@@ -87,6 +92,7 @@ class RenderRunner:
             os.makedirs(self.out_dir, exist_ok=True)
         self.envmap_size = tuple(kwargs.get("envmap_size", (256, 512)))
         self.max_views = kwargs.get("max_views", -1)
+        self.export_mesh_resolution = kwargs.get("export_mesh_resolution", 0)
 
     # ------------------------------------------------------------------
     def render_view(self, img_idx: int):
@@ -210,6 +216,25 @@ class RenderRunner:
         )
         exr_io.write(os.path.join(self.out_dir, "envmap.exr"), env)
 
+    def write_mesh(self):
+        """High-res geometry export (reference render-pipeline surface
+        artifact, utils/plots.py:169-241). SDF evaluation is host-driven and
+        identical on every process; only rank 0 writes."""
+        from nefii_tpu.parallel import dist
+        from nefii_tpu.utils.mesh_io import save_mesh
+        from nefii_tpu.utils.plots import get_surface_high_res_mesh
+
+        p_imp = dist.local_replica(self.params["implicit_network"])
+        verts, faces = get_surface_high_res_mesh(
+            lambda x: self.model.implicit_network.sdf(p_imp, x),
+            resolution=self.export_mesh_resolution,
+            bound=self.model.ray_tracer.object_bounding_sphere,
+        )
+        if self.is_main:
+            path = os.path.join(self.out_dir, "surface_high_res.ply")
+            save_mesh(path, verts, faces)
+            print(f"exported {len(verts)}-vertex mesh to {path}")
+
     # ------------------------------------------------------------------
     def run(self):
         n = len(self.dataset)
@@ -220,6 +245,8 @@ class RenderRunner:
             self.write_view(i, out)
             print(f"rendered view {i+1}/{n}")
         self.write_envmap()
+        if self.export_mesh_resolution > 0:
+            self.write_mesh()
         print("outputs in", self.out_dir)
 
 

@@ -679,8 +679,11 @@ class IDRTrainRunner:
         log2(ray count) recompiles per budget."""
         # ONE batched host transfer for all counters (device_get starts every
         # copy async then blocks once) — per-key int() cost 5 tunnel round
-        # trips per step. The step already syncs on the NaN-guard loss fetch,
-        # so this adds a single transfer, not a new sync point.
+        # trips per step. The primary training step already syncs on the
+        # NaN-guard loss fetch, so there this adds a single transfer, not a
+        # new sync point; on the secondary-distillation path the loss is only
+        # fetched every 50 iters, so this device_get IS the sync on most of
+        # its steps.
         present = {k: loss_dict[k] for k in self._OVERFLOW_KEYS if k in loss_dict}
         counts = {k: int(v) for k, v in jax.device_get(present).items()}
         if not any(counts.values()):
@@ -704,8 +707,9 @@ class IDRTrainRunner:
         import dataclasses as dc
 
         R = max(self.num_rays, 1)
-        # view-diff pairing concatenates a full paired view along the ray
-        # axis (_append_paired_view), doubling the per-step ray count — the
+        # view-diff pairing concatenates a full paired view along the batch
+        # axis (_append_paired_view, matching the reference's dim=0),
+        # doubling the per-step ray count — the
         # "trivially exact" cap must cover the doubled count or escalation
         # saturates at half the true ray count and never restores exactness
         pair_mult = 2 if self.loss.view_diff_weight > 0 else 1

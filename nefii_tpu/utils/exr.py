@@ -34,10 +34,18 @@ MAGIC = b"\x76\x2f\x31\x01"
 PT_UINT, PT_HALF, PT_FLOAT = 0, 1, 2
 _DTYPES = {PT_UINT: np.uint32, PT_HALF: np.float16, PT_FLOAT: np.float32}
 
-NO_COMPRESSION, RLE, ZIPS, ZIP, PIZ, PXR24 = 0, 1, 2, 3, 4, 5
+(NO_COMPRESSION, RLE, ZIPS, ZIP, PIZ, PXR24,
+ B44, B44A, DWAA, DWAB) = range(10)
 _LINES_PER_BLOCK = {
     NO_COMPRESSION: 1, RLE: 1, ZIPS: 1, ZIP: 16, PIZ: 32, PXR24: 16,
+    B44: 32, B44A: 32, DWAA: 32, DWAB: 256,
 }
+
+# capability surface (consulted by tests and by callers that pick a codec)
+DECODE_COMPRESSIONS = frozenset(
+    {NO_COMPRESSION, RLE, ZIPS, ZIP, PIZ, PXR24}
+)
+WRITE_COMPRESSIONS = frozenset({NO_COMPRESSION, ZIPS, ZIP})
 
 
 # ---------------------------------------------------------------------------

@@ -35,9 +35,15 @@ def test_render_script_writes_outputs(scene_dir, trained_exp, tmp_path):
         conf=parse_string(TRAIN_CONF), data_split_dir=scene_dir,
         old_expdir=os.path.join(exps_dir, "test_scene"), timestamp=timestamp,
         gamma=1.0, num_rays=2, memory_capacity_level=12, out_dir=out_dir,
-        max_views=1,
+        max_views=1, export_mesh_resolution=48,
     )
     runner.run()
+    # --export_mesh_resolution wires the two-stage high-res extraction into
+    # the render pipeline (VERDICT r4 #6)
+    from nefii_tpu.utils.mesh_io import load_mesh
+
+    mv, mf = load_mesh(os.path.join(out_dir, "surface_high_res.ply"))
+    assert len(mv) > 100 and len(mf) > 100
 
     for name in ("gt", "rerender_rgb", "diffuse_rgb", "specular_rgb",
                  "diffuse_albedo", "roughness", "specular_reflection"):

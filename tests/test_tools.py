@@ -271,3 +271,44 @@ def test_lpips_weights_loading_variants(tmp_path):
 
     with pytest.raises(ValueError, match="incomplete"):
         lpips_jax.load_weights(str(d / "alex_lins.pth"))
+
+
+@pytest.mark.slow  # ~4 min: 300-per-axis fine grid on the CPU mesh
+def test_surface_high_res_mesh():
+    """VERDICT r4 #6: the two-stage coarse-to-fine export (reference
+    utils/plots.py:169-241) produces a >=300-per-shortest-axis mesh of an
+    analytic blobby scene with vertex error below one grid cell, and drops
+    disconnected satellite components."""
+    from nefii_tpu.utils.plots import get_surface_high_res_mesh, get_surface_trace
+
+    centers = jnp.asarray(
+        [[0.25, 0.0, 0.0], [-0.25, 0.1, 0.0], [0.0, -0.2, 0.15]]
+    )
+    radii = jnp.asarray([0.4, 0.35, 0.3])
+
+    def blobby(p):
+        d = jnp.linalg.norm(p[:, None, :] - centers[None], axis=-1) - radii[None]
+        return d.min(-1)
+
+    # a small far-away satellite sphere that the largest-component filter
+    # must discard (the reference keeps only areas.argmax())
+    def scene(p):
+        sat = jnp.linalg.norm(p - jnp.asarray([0.0, 0.0, -0.85]), axis=-1) - 0.05
+        return jnp.minimum(blobby(p), sat)
+
+    res = 300
+    verts, faces = get_surface_high_res_mesh(scene, resolution=res, bound=1.0)
+    coarse_v, _ = get_surface_trace(scene, resolution=100, bound=1.0)
+    assert len(verts) > 4 * len(coarse_v), (len(verts), len(coarse_v))
+
+    # satellite gone: every vertex belongs to the blobby union
+    sat_d = np.linalg.norm(verts - np.array([0.0, 0.0, -0.85]), axis=1)
+    assert sat_d.min() > 0.2, sat_d.min()
+
+    # vertex error below one fine-grid cell: the blobby bbox spans <= 1.3 +
+    # 2*eps on its shortest axis, so the cell is < 1.8/299
+    err = np.abs(np.asarray(blobby(jnp.asarray(verts))))
+    cell = 1.8 / (res - 1)
+    assert err.max() <= cell, (err.max(), cell)
+    # and the bulk of vertices are much tighter than the cell
+    assert np.median(err) < cell / 4

@@ -1,6 +1,5 @@
 """Trainer integration tests on a tiny synthetic scene."""
 
-import json
 import os
 
 import numpy as np
@@ -8,7 +7,6 @@ import pytest
 
 from nefii_tpu.config import parse_string
 from nefii_tpu.training.trainer import IDRTrainRunner
-from nefii_tpu.utils import exr
 
 pytestmark = pytest.mark.slow  # integration tests: minutes on CPU
 
@@ -106,50 +104,9 @@ model{
 @pytest.fixture(scope="module")
 def scene_dir(tmp_path_factory):
     """Tiny 16x16 scene: lambertian sphere of radius 0.5, cameras on a ring."""
-    d = tmp_path_factory.mktemp("sphere_scene")
-    (d / "image").mkdir()
-    (d / "mask").mkdir()
-    H = W = 16
-    f = 20.0
-    import imageio.v2 as imageio
+    from scene_factory import make_sphere_scene
 
-    cam = {}
-    for i, ang in enumerate([0.0, 1.2, 2.4]):
-        eye = 2.0 * np.array([np.sin(ang), 0.0, -np.cos(ang)])
-        fwd = -eye / np.linalg.norm(eye)
-        right = np.cross([0, 1, 0], fwd)
-        right /= np.linalg.norm(right)
-        up = np.cross(fwd, right)
-        C2W = np.eye(4)
-        C2W[:3, 0], C2W[:3, 1], C2W[:3, 2], C2W[:3, 3] = right, up, fwd, eye
-        W2C = np.linalg.inv(C2W)
-        K = np.eye(4)
-        K[0, 0] = K[1, 1] = f
-        K[0, 2] = K[1, 2] = W / 2
-
-        img = np.zeros((H, W, 3), np.float32)
-        mask = np.zeros((H, W), np.uint8)
-        for v in range(H):
-            for u in range(W):
-                dir_cam = np.array([(u - W / 2) / f, (v - H / 2) / f, 1.0])
-                dir_w = C2W[:3, :3] @ dir_cam
-                dir_w /= np.linalg.norm(dir_w)
-                b = dir_w @ eye
-                c = eye @ eye - 0.25
-                disc = b * b - c
-                if disc > 0:
-                    t = -b - np.sqrt(disc)
-                    p = eye + t * dir_w
-                    n = p / np.linalg.norm(p)
-                    light = max(0.0, n @ np.array([0.5, 0.5, -0.7]) / np.linalg.norm([0.5, 0.5, -0.7]))
-                    img[v, u] = np.array([0.8, 0.5, 0.3]) * (0.2 + 0.8 * light)
-                    mask[v, u] = 255
-        exr.write(str(d / "image" / f"{i:03d}.exr"), img)
-        imageio.imwrite(str(d / "mask" / f"{i:03d}.png"), mask)
-        cam[f"{i:03d}.exr"] = {"K": K.reshape(-1).tolist(), "W2C": W2C.reshape(-1).tolist()}
-    with open(d / "cam_dict_norm.json", "w") as fjson:
-        json.dump(cam, fjson)
-    return str(d)
+    return make_sphere_scene(tmp_path_factory.mktemp("sphere_scene"))
 
 
 def _make_runner(scene_dir, tmp_path, **kw):
