@@ -43,7 +43,7 @@ _LINES_PER_BLOCK = {
 
 # capability surface (consulted by tests and by callers that pick a codec)
 DECODE_COMPRESSIONS = frozenset(
-    {NO_COMPRESSION, RLE, ZIPS, ZIP, PIZ, PXR24}
+    {NO_COMPRESSION, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A}
 )
 WRITE_COMPRESSIONS = frozenset({NO_COMPRESSION, ZIPS, ZIP})
 
@@ -373,6 +373,117 @@ def _piz_decompress(data: bytes, chans, W: int, n_lines: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# B44 / B44A (4x4 HALF pixel blocks, 14 bytes each; B44A adds 3-byte flat
+# blocks), decode — ImfB44Compressor.cpp. Non-HALF channels are stored raw,
+# channel-planar, inside the same stream.
+# ---------------------------------------------------------------------------
+
+def _b44_unpack14(b: np.ndarray) -> np.ndarray:
+    """Vectorised unpack of [M, 14] byte blocks into [M, 16] uint16 halfs
+    (s.reshape(4, 4) is [row, col] of the 4x4 pixel tile)."""
+    b = b.astype(np.int64)
+    shift = b[:, 2] >> 2
+    bias = np.int64(0x20) << shift
+
+    def six(x):
+        return x & 0x3F
+
+    # the 15 running differences, in the order the recurrence consumes them
+    r = [
+        six((b[:, 2] << 4) | (b[:, 3] >> 4)),   # s4  from s0
+        six((b[:, 3] << 2) | (b[:, 4] >> 6)),   # s8  from s4
+        six(b[:, 4]),                           # s12 from s8
+        six(b[:, 5] >> 2),                      # s1  from s0
+        six((b[:, 5] << 4) | (b[:, 6] >> 4)),   # s5  from s4
+        six((b[:, 6] << 2) | (b[:, 7] >> 6)),   # s9  from s8
+        six(b[:, 7]),                           # s13 from s12
+        six(b[:, 8] >> 2),                      # s2  from s1
+        six((b[:, 8] << 4) | (b[:, 9] >> 4)),   # s6  from s5
+        six((b[:, 9] << 2) | (b[:, 10] >> 6)),  # s10 from s9
+        six(b[:, 10]),                          # s14 from s13
+        six(b[:, 11] >> 2),                     # s3  from s2
+        six((b[:, 11] << 4) | (b[:, 12] >> 4)), # s7  from s6
+        six((b[:, 12] << 2) | (b[:, 13] >> 6)), # s11 from s10
+        six(b[:, 13]),                          # s15 from s14
+    ]
+    d = [(ri << shift) - bias for ri in r]
+
+    s = np.empty((len(b), 16), np.int64)
+    s[:, 0] = (b[:, 0] << 8) | b[:, 1]
+    s[:, 4] = s[:, 0] + d[0]
+    s[:, 8] = s[:, 4] + d[1]
+    s[:, 12] = s[:, 8] + d[2]
+    for col, (base_off, r0) in enumerate(((0, 3), (1, 7), (2, 11)), start=1):
+        for row in range(4):
+            s[:, 4 * row + col] = s[:, 4 * row + base_off] + d[r0 + row]
+    s &= 0xFFFF
+    return _b44_from_monotonic(s)
+
+
+def _b44_from_monotonic(s: np.ndarray) -> np.ndarray:
+    """Invert the sign-bias transform pack() applies so deltas are monotonic:
+    values with the high bit set map back directly, others bit-complement."""
+    return np.where(s & 0x8000, s & 0x7FFF, ~s & 0xFFFF).astype(np.uint16)
+
+
+def _b44_decompress(data: bytes, chans, W: int, n_lines: int,
+                    plinear: Dict[str, bool]) -> bytes:
+    """Decode one B44/B44A scanline block to the reader's layout (per line,
+    per channel in file order)."""
+    mv = np.frombuffer(data, np.uint8)
+    pos = 0
+    chan_rows: List[np.ndarray] = []  # per channel: [n_lines] list of row bytes
+    for name, pt in chans:
+        if pt != PT_HALF:
+            # UINT/FLOAT channels ride along uncompressed, channel-planar
+            nbytes = W * n_lines * np.dtype(_DTYPES[pt]).itemsize
+            plane = np.frombuffer(data, np.uint8, nbytes, pos)
+            chan_rows.append(plane.reshape(n_lines, -1))
+            pos += nbytes
+            continue
+        if plinear.get(name):
+            raise NotImplementedError(
+                "B44 pLinear channels not supported by this codec"
+            )
+        nbx = -(-W // 4)
+        nby = -(-n_lines // 4)
+        n_blocks = nbx * nby
+        offs = np.empty(n_blocks, np.int64)
+        flat = np.empty(n_blocks, bool)
+        p = pos
+        for bi in range(n_blocks):
+            offs[bi] = p
+            f = mv[p + 2] == 0xFC
+            flat[bi] = f
+            p += 3 if f else 14
+        pos = p
+
+        tiles = np.empty((n_blocks, 16), np.uint16)
+        if flat.any():
+            fo = offs[flat]
+            v = (mv[fo].astype(np.int64) << 8) | mv[fo + 1]
+            tiles[flat] = _b44_from_monotonic(v)[:, None]
+        if (~flat).any():
+            o = offs[~flat]
+            blk = np.stack([mv[o + k] for k in range(14)], axis=1)
+            tiles[~flat] = _b44_unpack14(blk)
+
+        # scatter tiles (row-major block order) and crop the edge padding
+        arr = np.empty((nby * 4, nbx * 4), np.uint16)
+        t4 = tiles.reshape(nby, nbx, 4, 4)
+        arr.reshape(nby, 4, nbx, 4)[:] = t4.transpose(0, 2, 1, 3)
+        chan_rows.append(
+            arr[:n_lines, :W].view(np.uint8).reshape(n_lines, -1)
+        )
+
+    parts = []
+    for line in range(n_lines):
+        for cb in chan_rows:
+            parts.append(cb[line].tobytes())
+    return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # PXR24 (zlib over per-row per-channel byte planes of horizontally
 # delta-coded samples; FLOAT truncated to 24 bits), decode only —
 # ImfPxr24Compressor.cpp
@@ -447,6 +558,18 @@ def _parse_chlist(raw: bytes) -> List[Tuple[str, int]]:
     return chans
 
 
+def _parse_chlist_plinear(raw: bytes) -> Dict[str, bool]:
+    """Per-channel pLinear flags (byte 4 of each channel record) — consulted
+    by the B44/DWA decoders, which change behaviour on pLinear channels."""
+    flags = {}
+    i = 0
+    while raw[i] != 0:
+        name, i = _read_cstring(raw, i)
+        flags[name] = raw[i + 4] != 0
+        i += 16
+    return flags
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
@@ -493,6 +616,11 @@ def read(path: str) -> np.ndarray:
             raw = _piz_decompress(block, chans, W, n_lines)
         elif compression == PXR24 and len(block) < expected:
             raw = _pxr24_decompress(block, chans, W, n_lines)
+        elif compression in (B44, B44A) and len(block) < expected:
+            raw = _b44_decompress(
+                block, chans, W, n_lines,
+                _parse_chlist_plinear(attrs["channels"][1]),
+            )
         else:
             raw = _decompress(block, compression, expected)
         pos = 0
