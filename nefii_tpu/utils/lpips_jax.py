@@ -199,3 +199,92 @@ def lpips_from_path(pred: np.ndarray, gt: np.ndarray,
         return lpips_distance(_CACHE[wp], pred, gt)
     except Exception as e:
         raise RuntimeError(f"LPIPS computation failed: {e}") from e
+
+
+def _export_main(argv) -> int:
+    """One-command weights export for users WITH egress (this deployment has
+    none — reference scripts/evaluate.py:116,154 downloads at first use):
+
+        python -m nefii_tpu.utils.lpips_jax --export-from-torch out.npz
+        python -m nefii_tpu.utils.lpips_jax --export-from-torch out.npz SRC...
+
+    With no SRC, instantiates `lpips.LPIPS(net='alex')` (the reference's
+    evaluator model; the pip package downloads its weights on first use) and
+    exports its state dict. With SRC paths (.pth/.pt/.npz files or a
+    directory), converts those instead — e.g. a torchvision alexnet state
+    dict plus the lpips repo's `weights/v0.1/alex.pth` lin heads. Afterwards
+    point evaluate.py at the npz via --lpips_weights or NEFII_LPIPS_WEIGHTS.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="nefii_tpu.utils.lpips_jax")
+    ap.add_argument("--export-from-torch", metavar="OUT_NPZ", required=True)
+    ap.add_argument("sources", nargs="*",
+                    help=".pth/.pt/.npz file(s) or a directory; default: "
+                         "the installed `lpips` package (needs egress on "
+                         "first use)")
+    ns = ap.parse_args(argv)
+
+    if ns.sources:
+        canon: Dict[str, np.ndarray] = {}
+        for src in ns.sources:
+            canon.update(_collect_partial(src))
+        weights = _finalize(canon)
+    else:
+        try:
+            import lpips  # type: ignore
+        except ImportError:
+            print("error: the `lpips` package is not installed and no "
+                  "source paths were given.\n  pip install lpips   # then "
+                  "re-run (downloads AlexNet + lin weights on first use)")
+            return 2
+        model = lpips.LPIPS(net="alex")
+        weights = _finalize(_canon_from_torch_state(model.state_dict()))
+
+    save_npz(weights, ns.export_from_torch)
+    # prove the export is loadable through the same gate evaluate.py uses
+    load_weights(ns.export_from_torch)
+    print(f"wrote {ns.export_from_torch} "
+          f"({sum(v.size for v in weights.values())} params, verified "
+          "loadable). Use: evaluate.py --lpips_weights "
+          f"{ns.export_from_torch}  (or NEFII_LPIPS_WEIGHTS=...)")
+    return 0
+
+
+def _collect_partial(path: str) -> Dict[str, np.ndarray]:
+    """load_weights minus the completeness check, so several partial sources
+    (backbone + lin heads) can be merged before finalizing."""
+    canon: Dict[str, np.ndarray] = {}
+    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+              if f.endswith((".pth", ".pt", ".npz"))]
+             if os.path.isdir(path) else [path])
+    for f in files:
+        if f.endswith(".npz"):
+            canon.update({k: np.asarray(v, np.float32)
+                          for k, v in np.load(f).items()})
+        else:
+            import torch
+
+            state = torch.load(f, map_location="cpu", weights_only=True)
+            if hasattr(state, "state_dict"):
+                state = state.state_dict()
+            canon.update(_canon_from_torch_state(state))
+    return canon
+
+
+def _finalize(canon: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    missing = [k for k in
+               [f"conv{i}_{a}" for i in range(5) for a in "wb"]
+               + [f"lin{i}" for i in range(5)]
+               if k not in canon]
+    if missing:
+        raise SystemExit(f"export incomplete: missing {missing} — supply a "
+                         "full lpips.LPIPS state dict, or a torchvision "
+                         "alexnet checkpoint plus the lin-head file")
+    return canon
+
+
+if __name__ == "__main__":
+    import sys
+
+    raise SystemExit(_export_main(sys.argv[1:]))

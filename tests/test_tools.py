@@ -273,6 +273,43 @@ def test_lpips_weights_loading_variants(tmp_path):
         lpips_jax.load_weights(str(d / "alex_lins.pth"))
 
 
+def test_lpips_export_cli(tmp_path):
+    """`python -m nefii_tpu.utils.lpips_jax --export-from-torch` converts
+    user-supplied torch checkpoints to the npz the evaluator loads (VERDICT
+    r3 #9: the one-command import path for users with egress)."""
+    import subprocess
+    import sys
+
+    import torch
+
+    from nefii_tpu.utils import lpips_jax
+
+    rng = np.random.RandomState(2)
+    state = _random_lpips_torch_state(rng)
+    src = tmp_path / "lpips_full.pth"
+    torch.save(state, str(src))
+    out = tmp_path / "alex.npz"
+    r = subprocess.run(
+        [sys.executable, "-m", "nefii_tpu.utils.lpips_jax",
+         "--export-from-torch", str(out), str(src)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    w_npz = lpips_jax.load_weights(str(out))
+    w_src = lpips_jax.load_weights(str(src))
+    for k in w_src:
+        np.testing.assert_array_equal(w_npz[k], w_src[k])
+
+    # incomplete source -> non-zero exit with an actionable message
+    lins_only = tmp_path / "lins.pth"
+    torch.save({k: v for k, v in state.items() if "lin" in k}, str(lins_only))
+    r2 = subprocess.run(
+        [sys.executable, "-m", "nefii_tpu.utils.lpips_jax",
+         "--export-from-torch", str(tmp_path / "bad.npz"), str(lins_only)],
+        capture_output=True, text=True)
+    assert r2.returncode != 0
+    assert "incomplete" in (r2.stdout + r2.stderr)
+
+
 @pytest.mark.slow  # ~4 min: 300-per-axis fine grid on the CPU mesh
 def test_surface_high_res_mesh():
     """VERDICT r4 #6: the two-stage coarse-to-fine export (reference
