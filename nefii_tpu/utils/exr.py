@@ -7,10 +7,11 @@ has EXR support — so we implement the subset of the format the pipeline
 needs:
 
   * read:  single-part scanline images, compression NONE / RLE / ZIPS /
-           ZIP / PIZ / PXR24, channel types HALF / FLOAT / UINT, arbitrary
-           channel names (returned in R,G,B[,A] order when present).
-  * write: RGB(A) scanline images, HALF or FLOAT, ZIP (16-line blocks)
-           or NONE.
+           ZIP / PIZ / PXR24 / B44 / B44A, channel types HALF / FLOAT /
+           UINT, arbitrary channel names (returned in R,G,B[,A] order when
+           present).
+  * write: RGB(A) scanline images, HALF or FLOAT, ZIP (16-line blocks),
+           PIZ (32-line blocks) or NONE.
 
 The ZIP codec applies OpenEXR's byte-deinterleave + delta predictor around
 zlib, which is what every OpenEXR implementation emits. The PIZ decoder
@@ -45,7 +46,7 @@ _LINES_PER_BLOCK = {
 DECODE_COMPRESSIONS = frozenset(
     {NO_COMPRESSION, RLE, ZIPS, ZIP, PIZ, PXR24, B44, B44A}
 )
-WRITE_COMPRESSIONS = frozenset({NO_COMPRESSION, ZIPS, ZIP})
+WRITE_COMPRESSIONS = frozenset({NO_COMPRESSION, ZIPS, ZIP, PIZ})
 
 
 # ---------------------------------------------------------------------------
@@ -373,6 +374,251 @@ def _piz_decompress(data: bytes, chans, W: int, n_lines: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PIZ encode (forward wavelet + forward LUT + Huffman) — the write-side
+# mirror of the decoder above. Code lengths come from a standard Huffman
+# tree (any optimal tree is valid — the canonical table is transmitted),
+# but the canonical code assignment, table packing, and run-length scheme
+# must match the decoder's expectations exactly.
+# ---------------------------------------------------------------------------
+
+def _pack_bits_msb(vals: np.ndarray, lens: np.ndarray) -> Tuple[bytes, int]:
+    """Pack (value, bit-length) tokens MSB-first; returns (bytes, n_bits)."""
+    if len(vals) == 0:
+        return b"", 0
+    total = int(lens.sum())
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    bits = np.zeros(total, np.uint8)
+    for k in range(int(lens.max())):
+        m = lens > k
+        bits[starts[m] + k] = ((vals[m] >> (lens[m] - 1 - k)) & 1).astype(
+            np.uint8
+        )
+    return np.packbits(bits).tobytes(), total
+
+
+def _huf_build_lengths(freq: np.ndarray, im: int, iM: int) -> np.ndarray:
+    """Huffman code lengths via the linked-group merge (hufBuildEncTable):
+    repeatedly combine the two lowest-frequency groups, incrementing the
+    code length of every symbol in both."""
+    import heapq
+
+    heap = [(int(freq[i]), int(i)) for i in range(im, iM + 1) if freq[i]]
+    heapq.heapify(heap)
+    hlink = np.arange(iM + 1, dtype=np.int64)  # next-in-group; self = tail
+    lengths = np.zeros(iM + 1, np.int64)
+    while len(heap) > 1:
+        fmm, mm = heapq.heappop(heap)  # smallest
+        fm, m = heapq.heappop(heap)    # second smallest: keeps the group head
+        heapq.heappush(heap, (fm + fmm, m))
+        j = m
+        while True:
+            lengths[j] += 1
+            if hlink[j] == j:
+                hlink[j] = mm  # append mm's group to m's
+                break
+            j = hlink[j]
+        j = mm
+        while True:
+            lengths[j] += 1
+            if hlink[j] == j:
+                break
+            j = hlink[j]
+    if lengths.max(initial=0) > 58:
+        raise ValueError("PIZ encode: Huffman code length exceeds 58 bits")
+    return lengths
+
+
+def _huf_canonical_values(lengths: np.ndarray) -> np.ndarray:
+    """Canonical code values from lengths (hufCanonicalCodeTable) — the same
+    assignment the decoder reconstructs."""
+    counts = np.bincount(lengths, minlength=59)
+    base = np.zeros(59, np.int64)
+    cc = 0
+    for ln in range(58, 0, -1):
+        base[ln] = cc
+        cc = (cc + counts[ln]) >> 1
+    codes = np.zeros(len(lengths), np.int64)
+    nxt = base.copy()
+    for sym in np.nonzero(lengths)[0]:
+        ln = int(lengths[sym])
+        codes[sym] = nxt[ln]
+        nxt[ln] += 1
+    return codes
+
+
+def _huf_pack_table(lengths: np.ndarray, im: int, iM: int) -> bytes:
+    """Bit-pack code lengths for symbols im..iM (hufPackEncTable): 6-bit
+    entries, 59..62 = zero runs of 2..5, 63 + 8 bits = runs of 6..261."""
+    vals: List[int] = []
+    lens: List[int] = []
+    i = im
+    while i <= iM:
+        l = int(lengths[i])
+        if l == 0:
+            zerun = 1
+            while i < iM and zerun < 261 and lengths[i + 1] == 0:
+                i += 1
+                zerun += 1
+            if zerun >= 6:
+                vals += [63, zerun - 6]
+                lens += [6, 8]
+                i += 1
+                continue
+            if zerun >= 2:
+                vals.append(59 + zerun - 2)
+                lens.append(6)
+                i += 1
+                continue
+        vals.append(l)
+        lens.append(6)
+        i += 1
+    packed, _ = _pack_bits_msb(np.asarray(vals, np.int64),
+                               np.asarray(lens, np.int64))
+    return packed
+
+
+def _huf_compress(data: np.ndarray) -> bytes:
+    """OpenEXR Huffman codec, encode side (hufCompress): 20-byte header,
+    packed code-length table, then run-length-aware code stream."""
+    freq = np.bincount(data, minlength=(1 << 16) + 1).astype(np.int64)
+    nz = np.nonzero(freq)[0]
+    im = int(nz[0])
+    rlc = int(nz[-1]) + 1  # pseudo-symbol: run-length marker
+    freq[rlc] = 1
+    lengths = _huf_build_lengths(freq, im, rlc)
+    code_vals = _huf_canonical_values(lengths)
+    table = _huf_pack_table(lengths, im, rlc)
+
+    # token stream: per equal-value run, chunks of <=256 samples; each chunk
+    # is one code + (RLC + 8-bit count) when that is strictly cheaper than
+    # repeating the code (hufEncode/sendCode)
+    starts = np.concatenate([[0], np.nonzero(np.diff(data))[0] + 1])
+    run_lens = np.diff(np.concatenate([starts, [len(data)]]))
+    syms = data[starts]
+    len_rlc = int(lengths[rlc])
+    val_rlc = int(code_vals[rlc])
+    out_v: List[np.ndarray] = []
+    out_l: List[np.ndarray] = []
+    for sym, L in zip(syms.tolist(), run_lens.tolist()):
+        cl = int(lengths[sym])
+        cv = int(code_vals[sym])
+        while L > 0:
+            lc_ = min(L, 256)
+            rc = lc_ - 1
+            if cl + len_rlc + 8 < cl * rc:
+                out_v.append(np.asarray([cv, val_rlc, rc], np.int64))
+                out_l.append(np.asarray([cl, len_rlc, 8], np.int64))
+            else:
+                out_v.append(np.full(lc_, cv, np.int64))
+                out_l.append(np.full(lc_, cl, np.int64))
+            L -= lc_
+    bits, n_bits = _pack_bits_msb(np.concatenate(out_v),
+                                  np.concatenate(out_l))
+    header = struct.pack("<5I", im, rlc, len(table), n_bits, 0)
+    return header + table + bits
+
+
+def _wenc14(a: np.ndarray, b: np.ndarray):
+    ai = a.astype(np.int16).astype(np.int32)
+    bi = b.astype(np.int16).astype(np.int32)
+    m = (ai + bi) >> 1
+    d = ai - bi
+    return (m.astype(np.int16).astype(np.uint16),
+            d.astype(np.int16).astype(np.uint16))
+
+
+def _wenc16(a: np.ndarray, b: np.ndarray):
+    ao = (a.astype(np.int64) + 0x8000) & 0xFFFF
+    bi = b.astype(np.int64)
+    m = (ao + bi) >> 1
+    d = ao - bi
+    m = np.where(d < 0, (m + 0x8000) & 0xFFFF, m)
+    return m.astype(np.uint16), (d & 0xFFFF).astype(np.uint16)
+
+
+def _wav2_encode(a: np.ndarray, max_value: int) -> None:
+    """In-place forward 2D wavelet (ImfWav.cpp wav2Encode) on [ny, nx]
+    uint16 — levels and index sets mirror _wav2_decode, reversed, with
+    horizontal-then-vertical pairing (the inverse of decode's order)."""
+    enc = _wenc14 if max_value < (1 << 14) else _wenc16
+    ny, nx = a.shape
+    n = min(nx, ny)
+    p, p2 = 1, 2
+    while p2 <= n:
+        ys = np.arange(0, max(ny - p2, -1) + 1, p2)
+        xs = np.arange(0, max(nx - p2, -1) + 1, p2)
+        if len(ys) and len(xs):
+            Y, X = np.meshgrid(ys, xs, indexing="ij")
+            v00, v01 = a[Y, X], a[Y, X + p]
+            v10, v11 = a[Y + p, X], a[Y + p, X + p]
+            h00, h01 = enc(v00, v01)
+            h10, h11 = enc(v10, v11)
+            r00, r10 = enc(h00, h10)
+            r01, r11 = enc(h01, h11)
+            a[Y, X], a[Y, X + p] = r00, r01
+            a[Y + p, X], a[Y + p, X + p] = r10, r11
+        if (nx & p) and len(ys):  # odd remainder column: vertical pairs
+            x = (xs[-1] + p2) if len(xs) else 0
+            t0, t1 = enc(a[ys, x], a[ys + p, x])
+            a[ys, x], a[ys + p, x] = t0, t1
+        if (ny & p) and len(xs):  # odd remainder row: horizontal pairs
+            y = (ys[-1] + p2) if len(ys) else 0
+            t0, t1 = enc(a[y, xs], a[y, xs + p])
+            a[y, xs], a[y, xs + p] = t0, t1
+        p = p2
+        p2 <<= 1
+
+
+def _piz_compress(raw: bytes, chans, W: int, n_lines: int) -> bytes:
+    """Encode one scanline block from the writer's layout (per line, per
+    channel in file order) — inverse of _piz_decompress."""
+    sizes = [1 if pt == PT_HALF else 2 for _, pt in chans]  # u16s per sample
+    stride = W * sum(sizes)
+    src = np.frombuffer(raw, np.uint16).reshape(n_lines, stride)
+
+    # deinterleave scanlines into the channel-planar tmp buffer
+    offs = np.cumsum([0] + [W * s for s in sizes])
+    buf = np.empty(n_lines * stride, np.uint16)
+    off = 0
+    for ci, s in enumerate(sizes):
+        nvals = n_lines * W * s
+        buf[off : off + nvals] = src[:, offs[ci] : offs[ci + 1]].reshape(-1)
+        off += nvals
+
+    # bitmapFromData + forwardLutFromBitmap (value 0 is never stored)
+    present_nz = np.unique(buf)
+    present_nz = present_nz[present_nz != 0]
+    lut = np.zeros(1 << 16, np.uint16)
+    lut[present_nz] = np.arange(1, len(present_nz) + 1, dtype=np.uint16)
+    max_value = len(present_nz)
+    bitbytes = np.zeros(1 << 16, np.uint8)
+    bitbytes[present_nz] = 1
+    bitmap = np.packbits(bitbytes, bitorder="little")
+    nz_bytes = np.nonzero(bitmap)[0]
+    if len(nz_bytes):
+        min_nz, max_nz = int(nz_bytes[0]), int(nz_bytes[-1])
+    else:
+        min_nz, max_nz = _BITMAP_SIZE - 1, 0  # all-zero block: no bitmap
+
+    buf = lut[buf]
+
+    off = 0
+    for s in sizes:
+        plane = buf[off : off + n_lines * W * s].reshape(n_lines, W * s)
+        off += n_lines * W * s
+        for j in range(s):
+            sub = np.ascontiguousarray(plane[:, j::s])
+            _wav2_encode(sub, max_value)
+            plane[:, j::s] = sub
+
+    huf = _huf_compress(buf)
+    head = struct.pack("<HH", min_nz, max_nz)
+    body = bitmap[min_nz : max_nz + 1].tobytes() if min_nz <= max_nz else b""
+    return head + body + struct.pack("<i", len(huf)) + huf
+
+
+# ---------------------------------------------------------------------------
 # B44 / B44A (4x4 HALF pixel blocks, 14 bytes each; B44A adds 3-byte flat
 # blocks), decode — ImfB44Compressor.cpp. Non-HALF channels are stored raw,
 # channel-planar, inside the same stream.
@@ -691,7 +937,13 @@ def write(
             for ci in chan_order:
                 parts.append(img[y0 + line, :, ci].astype(dt).tobytes())
         raw = b"".join(parts)
-        blocks.append((y0, _compress(raw, compression)))
+        if compression == PIZ:
+            comp = _piz_compress(
+                raw, [(names[ci], pixel_type) for ci in chan_order],
+                W, n_lines)
+            blocks.append((y0, comp if len(comp) < len(raw) else raw))
+        else:
+            blocks.append((y0, _compress(raw, compression)))
 
     table_off = len(header)
     data_off = table_off + 8 * n_blocks

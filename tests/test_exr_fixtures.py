@@ -78,6 +78,16 @@ def test_piz_write_roundtrip(tmp_path):
     exr.write(p32, img, pixel_type=exr.PT_FLOAT, compression=exr.PIZ)
     np.testing.assert_array_equal(exr.read(p32), img)
 
+    # a 64x256 random FLOAT image puts >2^14 distinct u16 values in a
+    # 32-line block (~34k of 49k samples), forcing the 16-bit wavelet
+    # variant (wenc16/wdec16)
+    big = rng.randn(64, 256, 3).astype(np.float32)
+    assert len(np.unique(np.frombuffer(
+        big[:32].astype("<f4").tobytes(), np.uint16))) > (1 << 14)
+    pbig = str(tmp_path / "big.exr")
+    exr.write(pbig, big, pixel_type=exr.PT_FLOAT, compression=exr.PIZ)
+    np.testing.assert_array_equal(exr.read(pbig), big)
+
 
 def test_piz_write_readable_by_libopenexr(tmp_path):
     """When the system libOpenEXR tooling is present (it is on the dev/CI
@@ -101,6 +111,7 @@ def test_piz_write_readable_by_libopenexr(tmp_path):
 #include <ImfInputFile.h>
 #include <ImfFrameBuffer.h>
 #include <ImfChannelList.h>
+#include <ImfHeader.h>
 #include <cstdio>
 #include <vector>
 using namespace OPENEXR_IMF_NAMESPACE;
