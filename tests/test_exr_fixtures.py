@@ -49,11 +49,19 @@ def test_decode_matches_libopenexr(comp, dt, C):
     assert img.shape == (H, W, C)
     gt = _gt(base, C)
     # ground truth is libOpenEXR's decode of the same file, so even the
-    # lossy codecs must match exactly; DWA's toLinear table is generated
-    # from the documented curve and may differ from the shipped table in
-    # the last half ulp, hence the tiny tolerance there
+    # lossy codecs must match exactly. DWA: Y-only / RLE / UNKNOWN paths are
+    # bit-exact (the toLinear LUT is generated bit-identical to the shipped
+    # table and the IDCT replicates the scalar butterfly's float32 order),
+    # but for CSC'd RGB sets libOpenEXR's own scalar/SSE/AVX builds disagree
+    # in the last pre-LUT half-ulp, so exactness is not well-defined there —
+    # assert instead that >=99.9% of samples are bit-identical and the rest
+    # within 3 half-ulps (what the LUT's exp segment amplifies 1 ulp to)
     if comp in ("dwaa", "dwab"):
-        np.testing.assert_allclose(img, gt, rtol=1e-3, atol=1e-4)
+        mb = img.astype(np.float16).view(np.uint16).astype(np.int32)
+        gb = gt.astype(np.float16).view(np.uint16).astype(np.int32)
+        ulp = np.abs(mb - gb)
+        assert (ulp > 0).mean() <= 1e-3, f"{(ulp > 0).mean():%} samples differ"
+        assert ulp.max() <= 3, f"max half-ulp distance {ulp.max()}"
     else:
         np.testing.assert_array_equal(img, gt)
 
