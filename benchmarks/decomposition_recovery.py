@@ -2,34 +2,46 @@
 albedo from light?
 
 Trains the shipped Step-2 recipe (pt_render_indirect_mlp + secondary
-self-distillation, frozen Step-1-style geometry) on the synthetic blobby
-scene whose per-sphere diffuse albedos and directional light are KNOWN
-analytically, then reports three ground-truth-anchored numbers no
-novel-view PSNR can fake:
+self-distillation, frozen Step-1-style geometry) on the scene-v2 synthetic
+blobby (see synthetic_scene.py): known per-sphere diffuse albedos, a known
+2-lobe SG-mixture light — the model family's OWN light parameterization
+(reference sg_envmap_material.py:126-157), so the ground truth is inside
+the hypothesis class — with MC-integrated penumbras and one-bounce
+interreflection. Reports ground-truth-anchored numbers no novel-view PSNR
+can fake:
 
-1. heldout_sg_psnr  — novel-view re-render quality (sanity anchor, same
-   metric as ab_secondary_tracer.py).
+1. heldout_sg_psnr  — novel-view re-render quality (sanity anchor, bounds
+   every other score from above).
 2. albedo           — recovered diffuse albedo vs the analytic per-sphere
    albedos at surface sample points, after the per-channel median scale
    alignment evaluate.py applies (reference scripts/evaluate.py:164-171;
    inverse rendering has a global light<->albedo scale ambiguity).
-   Reported per sphere and overall (PSNR of aligned albedo).
+   Also a per-sphere-scalar-aligned hue variant and the per-sphere
+   brightness ratios themselves (spread == regional shading baked into
+   albedo).
 3. relight          — the decomposition test proper: rotate the RECOVERED
    light SGs by R (scripts/envmap_tools.rotate_lightsg, reference
-   envmaps/rotate_lightsg.py:44-64), re-render the held-out view, and
-   compare against the analytic scene re-rendered under the SAME rotated
-   light. A model that baked shading into albedo (or albedo into light)
-   renders the original image, not the relit one, and fails this gate.
-   Interpretation caveats: (a) the relight score is bounded above by the
-   model's own re-render fidelity (heldout_sg_psnr) — it cannot relight
-   better than it renders; (b) pt_render_indirect_mlp's indirect radiance
+   envmaps/rotate_lightsg.py:44-64), re-render the held-out view, compare
+   against the analytic scene re-rendered under the SAME rotated light.
+   A model that baked shading into albedo renders the original image, not
+   the relit one, and fails this gate (relight_control = the unrotated
+   render scored against the relit GT).
+4. relight_structural_bound — the reference family's indirect radiance
    comes from the IDR radiance cache, which encodes the ORIGINAL lighting
-   and is not relit — a structural property of the reference's render
-   types (its vis_rotate_envlight sweeps share it) that compresses the
-   relight-vs-control margin on scenes with strong occlusion.
+   and is not relightable (structural: its vis_rotate_envlight sweeps share
+   this). The bound quantifies what that costs a PERFECT decomposition:
+   PSNR between the fully-relit GT and a hybrid GT whose direct term is
+   relit but whose indirect bounce still uses the original light. Any
+   relight score is capped by min(bound, heldout fidelity).
+
+Variants: reduced|exact|fused|bf16 select the secondary tracer / fused-SDF
+knobs (see synthetic_scene.build_model); "oracle" = bf16 arm with the light
+INITIALIZED TO GROUND TRUTH AND FROZEN — the diagnostic ladder rung that
+separates light-estimation error from shading-model error in the albedo
+score.
 
 Usage: python decomposition_recovery.py <iters> <seed> <out.json> \
-           [res] [views] [variant: reduced|exact|fused|bf16]
+           [res] [views] [variant: reduced|exact|fused|bf16|oracle]
 """
 import json
 import os
@@ -39,8 +51,8 @@ import time
 import numpy as np
 
 N_ITERS, SEED, OUT = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-RES = int(sys.argv[4]) if len(sys.argv) > 4 else 48
-N_VIEWS = int(sys.argv[5]) if len(sys.argv) > 5 else 7  # train = views - 1
+RES = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+N_VIEWS = int(sys.argv[5]) if len(sys.argv) > 5 else 13  # train = views - 1
 VARIANT = sys.argv[6] if len(sys.argv) > 6 else "reduced"
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -55,19 +67,12 @@ import jax.numpy as jnp
 
 from nefii_tpu.scripts.envmap_tools import rotate_lightsg  # noqa: E402
 from synthetic_scene import (  # noqa: E402
-    ALBEDOS, CENTERS, LIGHT2_DIR, LIGHT2_RGB, LIGHT_DIR, RADII, build_model,
-    make_views, render_gt, run_training, sdf_np,
+    ALBEDOS, CENTERS, RADII, SG_LIGHTS, build_model, make_views_sg,
+    render_gt_sg, rotate_sg_lights, sdf_np, sg_lights_as_lgtSGs, run_training,
 )
 
 H = W = RES
 RELIGHT_DEG = 50.0  # rotation about the world y axis
-# two SHADOW-TRACED directional lights, no unshadowed ambient: physically
-# consistent with the SG-light + traced-visibility model family (an
-# unshadowed ambient floor is not representable, and forces the optimizer
-# to bake the mismatch into albedo — measured: with the legacy ambient
-# scene, relight_psnr lands BELOW the unrotated control)
-LIGHTS = [(np.asarray(LIGHT_DIR, np.float32), np.ones(3, np.float32)),
-          (np.asarray(LIGHT2_DIR, np.float32), LIGHT2_RGB)]
 
 
 def rot_y(deg):
@@ -121,16 +126,25 @@ def surface_samples(n_per_sphere, seed, eyes=None):
 
 
 def main():
-    views = make_views(N_VIEWS, H, W, lights=LIGHTS)
+    t_gt = time.time()
+    views = make_views_sg(N_VIEWS, H, W)
+    print(f"[recovery] GT views: {time.time()-t_gt:.0f}s", flush=True)
     train_views, test_view = views[:-1], views[-1]
-    model = build_model(VARIANT)
+    model = build_model("bf16" if VARIANT == "oracle" else VARIANT)
 
     t0 = time.time()
     params = run_training(
         model, train_views, H, W, N_ITERS, SEED,
         eval_cb=lambda it, p, l: print(
-            f"[recovery s{SEED}] it={it} loss={l:.4f} "
+            f"[recovery s{SEED} {VARIANT}] it={it} loss={l:.4f} "
             f"elapsed={(time.time()-t0)/60:.1f}m", flush=True),
+        init_lgtSGs=(sg_lights_as_lgtSGs(SG_LIGHTS, 32)
+                     if VARIANT == "oracle" else None),
+        freeze_light=(VARIANT == "oracle"),
+        # the shipped recipe's symmetry breaker (robot/run_s2.sh
+        # --roughness_warmup 5000): fake fixed roughness for the first 5k
+        # iterations so the specular path cannot absorb shading early
+        roughness_warmup=5000,
     )
 
     Kt, C2Wt, img_t, mask_t = test_view
@@ -149,7 +163,7 @@ def main():
         )
         return out["sg_rgb_values"], out["network_object_mask"]
 
-    results = {"iters": N_ITERS, "seed": SEED, "res": RES,
+    results = {"iters": N_ITERS, "seed": SEED, "res": RES, "scene": "v2-sg",
                "train_views": N_VIEWS - 1, "variant": VARIANT}
 
     # ---- 1. held-out novel-view re-render --------------------------------
@@ -204,9 +218,21 @@ def main():
 
     # ---- 3. relighting ----------------------------------------------------
     R = rot_y(RELIGHT_DEG)
-    gt_relit, _ = render_gt(
-        C2Wt, Kt, H, W,
-        lights=[(R @ d, c) for d, c in LIGHTS])
+    lights_rot = rotate_sg_lights(SG_LIGHTS, R)
+    gt_relit, _, _ = render_gt_sg(C2Wt, Kt, H, W, sg_lights=lights_rot,
+                                  seed=1000 + N_VIEWS)
+    # structural bound of the non-relightable indirect cache: hybrid GT =
+    # relit direct + ORIGINAL-light indirect — what a PERFECT decomposition
+    # with the reference's frozen radiance cache would produce
+    gt_hybrid, _, aux_h = render_gt_sg(
+        C2Wt, Kt, H, W, sg_lights=lights_rot, indirect_lights=SG_LIGHTS,
+        seed=1000 + N_VIEWS)
+    results["relight_structural_bound_db"] = round(
+        masked_psnr(gt_hybrid, gt_relit, mask_t), 3)
+    ind, dr = aux_h["indirect"][mask_t], aux_h["direct"][mask_t]
+    results["indirect_fraction"] = round(
+        float(ind.sum() / (ind.sum() + dr.sum())), 4)
+
     p_mat = dict(params["envmap_material_network"])
     lgt = model.envmap_material_network.get_lgtSGs(params["envmap_material_network"])
     p_mat["lgtSGs"] = jnp.asarray(rotate_lightsg(np.asarray(lgt), R))
@@ -219,6 +245,10 @@ def main():
     # a failed decomposition (shading baked into albedo) matches this value;
     # a real one beats it
     results["relight_control_psnr_db"] = round(masked_psnr(rgb, gt_relit, m), 3)
+    # GT-side anchor for the control: how far the relit GT is from the
+    # original GT (what a zero-error baked model would score)
+    results["relight_gt_vs_orig_db"] = round(
+        masked_psnr(img_t, gt_relit, mask_t), 3)
     results["relight_deg"] = RELIGHT_DEG
 
     results["minutes"] = round((time.time() - t0) / 60, 1)
