@@ -922,10 +922,13 @@ def _dwa_unrle_ac(ac: np.ndarray, start: int, n_blocks: int, n_comp: int):
     Returns ([n_blocks, n_comp, 64] uint16 with slot 0 zero, next offset)."""
     out = np.zeros((n_blocks, n_comp, 64), np.uint16)
     pos = start
+    n_ac = len(ac)
     for b in range(n_blocks):
         for c in range(n_comp):
             slot = 1
             while slot < 64:
+                if pos >= n_ac:
+                    raise ValueError("corrupt DWA block: AC stream truncated")
                 val = int(ac[pos]); pos += 1
                 if val == 0xFF00:
                     break
@@ -945,6 +948,8 @@ def _dwa_decompress(data: bytes, chans, W: int, n_lines: int) -> bytes:
     pos = 88
     if version >= 2:
         rule_size = struct.unpack("<H", data[pos:pos + 2])[0]
+        if rule_size < 2 or pos + rule_size > len(data):
+            raise ValueError("corrupt DWA block: bad channel-rule size")
         rules = _dwa_parse_rules(data[pos + 2:pos + rule_size])
         pos += rule_size
     else:
