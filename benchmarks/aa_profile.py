@@ -33,7 +33,6 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/nefii_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp
 
-sys.path.insert(0, os.path.dirname(_HERE))
 from bench import _exact_train_model, fit_representative_geometry  # noqa: E402
 
 S, R, W = 512, 256, 512
@@ -75,7 +74,7 @@ def main():
                  "pose": posej},
                 key, training=False,
             )
-            return out["sg_rgb_values"], out.get("n_sdf_evals", jnp.int64(0))
+            return out["sg_rgb_values"], out.get("n_sdf_evals", jnp.int32(0))
 
         rgb, ev = render(params, uv, jax.random.PRNGKey(0))
         rgb.block_until_ready()

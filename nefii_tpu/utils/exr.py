@@ -398,32 +398,53 @@ def _pack_bits_msb(vals: np.ndarray, lens: np.ndarray) -> Tuple[bytes, int]:
 
 
 def _huf_build_lengths(freq: np.ndarray, im: int, iM: int) -> np.ndarray:
-    """Huffman code lengths via the linked-group merge (hufBuildEncTable):
-    repeatedly combine the two lowest-frequency groups, incrementing the
-    code length of every symbol in both."""
-    import heapq
-
-    heap = [(int(freq[i]), int(i)) for i in range(im, iM + 1) if freq[i]]
-    heapq.heapify(heap)
-    hlink = np.arange(iM + 1, dtype=np.int64)  # next-in-group; self = tail
+    """Huffman code lengths (hufBuildEncTable equivalence class): OpenEXR's
+    heap compares frequencies only, so ties are implementation-defined and
+    only the length MULTISET is pinned — the decoder rebuilds the canonical
+    code from whatever valid lengths the table carries. Built here with the
+    sorted two-queue merge (internal-node frequencies are produced in
+    nondecreasing order, so a second FIFO replaces the heap) and a
+    pointer-jumping depth pass — the per-symbol group-walk this replaces
+    cost ~6 s alone on a 512^2 fp32 PIZ write."""
+    syms = np.nonzero(freq[im:iM + 1])[0] + im
+    n = len(syms)
     lengths = np.zeros(iM + 1, np.int64)
-    while len(heap) > 1:
-        fmm, mm = heapq.heappop(heap)  # smallest
-        fm, m = heapq.heappop(heap)    # second smallest: keeps the group head
-        heapq.heappush(heap, (fm + fmm, m))
-        j = m
-        while True:
-            lengths[j] += 1
-            if hlink[j] == j:
-                hlink[j] = mm  # append mm's group to m's
-                break
-            j = hlink[j]
-        j = mm
-        while True:
-            lengths[j] += 1
-            if hlink[j] == j:
-                break
-            j = hlink[j]
+    if n <= 1:
+        lengths[syms] = 1
+        return lengths
+    order = np.argsort(freq[syms], kind="stable")
+    leaf_f = freq[syms[order]].astype(np.int64)
+    int_f = np.empty(n - 1, np.int64)
+    parent = np.full(2 * n - 1, 2 * n - 2, np.int64)  # root points at itself
+    li = 0          # next unmerged leaf
+    ii = 0          # next unmerged internal node
+    for k in range(n - 1):
+        pair_f = 0
+        node = n + k
+        for _ in range(2):
+            # take the cheaper of the two queue heads (leaves win ties —
+            # any tie order yields a valid Huffman length set)
+            if li < n and (ii >= k or leaf_f[li] <= int_f[ii]):
+                pair_f += leaf_f[li]
+                parent[li] = node
+                li += 1
+            else:
+                pair_f += int_f[ii]
+                parent[n + ii] = node
+                ii += 1
+        int_f[k] = pair_f
+    # depth by repeated parent-gathers: <=59 vectorised jumps (tree depth is
+    # bounded by the 58-bit code check below) instead of a per-node walk
+    root = 2 * n - 2
+    depth = np.zeros(2 * n - 1, np.int64)
+    cur = np.arange(2 * n - 1)
+    for _ in range(64):
+        live = cur != root
+        if not live.any():
+            break
+        depth += live
+        cur = parent[cur]
+    lengths[syms[order]] = depth[:n]
     if lengths.max(initial=0) > 58:
         raise ValueError("PIZ encode: Huffman code length exceeds 58 bits")
     return lengths
@@ -431,50 +452,70 @@ def _huf_build_lengths(freq: np.ndarray, im: int, iM: int) -> np.ndarray:
 
 def _huf_canonical_values(lengths: np.ndarray) -> np.ndarray:
     """Canonical code values from lengths (hufCanonicalCodeTable) — the same
-    assignment the decoder reconstructs."""
+    assignment the decoder reconstructs. Vectorised: code = base[len] +
+    rank of the symbol among same-length symbols in ascending symbol order."""
     counts = np.bincount(lengths, minlength=59)
+    counts[0] = 0
     base = np.zeros(59, np.int64)
     cc = 0
     for ln in range(58, 0, -1):
         base[ln] = cc
         cc = (cc + counts[ln]) >> 1
     codes = np.zeros(len(lengths), np.int64)
-    nxt = base.copy()
-    for sym in np.nonzero(lengths)[0]:
-        ln = int(lengths[sym])
-        codes[sym] = nxt[ln]
-        nxt[ln] += 1
+    nzsym = np.nonzero(lengths)[0]
+    if len(nzsym):
+        ln = lengths[nzsym]
+        order = np.argsort(ln, kind="stable")  # symbol-ascending within length
+        sln = ln[order]
+        grp = np.concatenate([[0], np.nonzero(np.diff(sln))[0] + 1])
+        grp_len = np.diff(np.concatenate([grp, [len(sln)]]))
+        rank = np.arange(len(sln)) - np.repeat(grp, grp_len)
+        codes[nzsym[order]] = base[sln] + rank
     return codes
 
 
 def _huf_pack_table(lengths: np.ndarray, im: int, iM: int) -> bytes:
     """Bit-pack code lengths for symbols im..iM (hufPackEncTable): 6-bit
-    entries, 59..62 = zero runs of 2..5, 63 + 8 bits = runs of 6..261."""
-    vals: List[int] = []
-    lens: List[int] = []
-    i = im
-    while i <= iM:
-        l = int(lengths[i])
-        if l == 0:
-            zerun = 1
-            while i < iM and zerun < 261 and lengths[i + 1] == 0:
-                i += 1
-                zerun += 1
-            if zerun >= 6:
-                vals += [63, zerun - 6]
-                lens += [6, 8]
-                i += 1
-                continue
-            if zerun >= 2:
-                vals.append(59 + zerun - 2)
-                lens.append(6)
-                i += 1
-                continue
-        vals.append(l)
-        lens.append(6)
-        i += 1
-    packed, _ = _pack_bits_msb(np.asarray(vals, np.int64),
-                               np.asarray(lens, np.int64))
+    entries, 59..62 = zero runs of 2..5, 63 + 8 bits = runs of 6..261.
+    Vectorised (bit-identical to the scan loop it replaces): literals and
+    zero-run chunks are built as positioned token units and interleaved by
+    source position."""
+    lz = lengths[im:iM + 1].astype(np.int64)
+    N = len(lz)
+    iszero = lz == 0
+    padded = np.concatenate([[False], iszero, [False]])
+    rs = np.nonzero(padded[1:] & ~padded[:-1])[0]       # zero-run starts
+    re = np.nonzero(~padded[1:] & padded[:-1])[0]       # one past run ends
+    rl = re - rs
+    # chunk runs into <=261
+    ncz = -(-rl // 261)
+    ch_run = np.repeat(np.arange(len(rs)), ncz)
+    ch_idx = np.arange(len(ch_run)) - np.repeat(np.cumsum(ncz) - ncz, ncz)
+    ch_pos = rs[ch_run] + ch_idx * 261
+    ch_len = np.minimum(rl[ch_run] - ch_idx * 261, 261)
+    # token units: literals (nonzero lengths AND 1-length zero runs) emit one
+    # 6-bit token; 2..5 runs one token; >=6 runs a (63, len-6) pair
+    lit_pos = np.nonzero(~iszero)[0]
+    units_pos = np.concatenate([lit_pos, ch_pos])
+    u_v0 = np.concatenate([
+        lz[lit_pos],
+        np.where(ch_len >= 6, 63, np.where(ch_len >= 2, 59 + ch_len - 2, 0)),
+    ])
+    u_v1 = np.concatenate([np.zeros(len(lit_pos), np.int64), ch_len - 6])
+    u_two = np.concatenate([
+        np.zeros(len(lit_pos), bool), ch_len >= 6,
+    ])
+    order = np.argsort(units_pos, kind="stable")
+    u_v0, u_v1, u_two = u_v0[order], u_v1[order], u_two[order]
+    cnt = np.where(u_two, 2, 1)
+    offs = np.concatenate([[0], np.cumsum(cnt)])
+    vals = np.zeros(int(offs[-1]), np.int64)
+    lens = np.full(int(offs[-1]), 6, np.int64)
+    vals[offs[:-1]] = u_v0
+    second = offs[:-1][u_two] + 1
+    vals[second] = u_v1[u_two]
+    lens[second] = 8
+    packed, _ = _pack_bits_msb(vals, lens)
     return packed
 
 
@@ -492,29 +533,43 @@ def _huf_compress(data: np.ndarray) -> bytes:
 
     # token stream: per equal-value run, chunks of <=256 samples; each chunk
     # is one code + (RLC + 8-bit count) when that is strictly cheaper than
-    # repeating the code (hufEncode/sendCode)
+    # repeating the code (hufEncode/sendCode). Fully vectorised — the
+    # obvious per-run Python loop costs ~12 s on a 512^2 fp32 image (high-
+    # entropy data is nearly all 1-sample runs), this is ~milliseconds.
     starts = np.concatenate([[0], np.nonzero(np.diff(data))[0] + 1])
     run_lens = np.diff(np.concatenate([starts, [len(data)]]))
-    syms = data[starts]
+    syms = data[starts].astype(np.int64)
     len_rlc = int(lengths[rlc])
     val_rlc = int(code_vals[rlc])
-    out_v: List[np.ndarray] = []
-    out_l: List[np.ndarray] = []
-    for sym, L in zip(syms.tolist(), run_lens.tolist()):
-        cl = int(lengths[sym])
-        cv = int(code_vals[sym])
-        while L > 0:
-            lc_ = min(L, 256)
-            rc = lc_ - 1
-            if cl + len_rlc + 8 < cl * rc:
-                out_v.append(np.asarray([cv, val_rlc, rc], np.int64))
-                out_l.append(np.asarray([cl, len_rlc, 8], np.int64))
-            else:
-                out_v.append(np.full(lc_, cv, np.int64))
-                out_l.append(np.full(lc_, cl, np.int64))
-            L -= lc_
-    bits, n_bits = _pack_bits_msb(np.concatenate(out_v),
-                                  np.concatenate(out_l))
+
+    # split runs into <=256-sample chunks
+    nc = -(-run_lens // 256)
+    chunk_sym = np.repeat(syms, nc)
+    chunk_len = np.full(int(nc.sum()), 256, np.int64)
+    last_idx = np.cumsum(nc) - 1
+    chunk_len[last_idx] = run_lens - (nc - 1) * 256
+    cl = lengths[chunk_sym].astype(np.int64)
+    cv = code_vals[chunk_sym].astype(np.int64)
+    rc = chunk_len - 1
+    use_rle = cl + len_rlc + 8 < cl * rc
+
+    out_count = np.where(use_rle, 3, chunk_len)
+    offs = np.concatenate([[0], np.cumsum(out_count)])
+    total = int(offs[-1])
+    out_v = np.empty(total, np.int64)
+    out_l = np.empty(total, np.int64)
+    base_r = offs[:-1][use_rle]
+    out_v[base_r], out_l[base_r] = cv[use_rle], cl[use_rle]
+    out_v[base_r + 1], out_l[base_r + 1] = val_rlc, len_rlc
+    out_v[base_r + 2], out_l[base_r + 2] = rc[use_rle], 8
+    lit = ~use_rle
+    ll = chunk_len[lit]
+    if ll.size:
+        within = np.arange(int(ll.sum())) - np.repeat(np.cumsum(ll) - ll, ll)
+        idx = np.repeat(offs[:-1][lit], ll) + within
+        out_v[idx] = np.repeat(cv[lit], ll)
+        out_l[idx] = np.repeat(cl[lit], ll)
+    bits, n_bits = _pack_bits_msb(out_v, out_l)
     header = struct.pack("<5I", im, rlc, len(table), n_bits, 0)
     return header + table + bits
 
@@ -698,10 +753,16 @@ def _b44_decompress(data: bytes, chans, W: int, n_lines: int,
         flat = np.empty(n_blocks, bool)
         p = pos
         for bi in range(n_blocks):
+            if p + 3 > len(mv):
+                raise ValueError(
+                    f"corrupt EXR: B44 stream truncated at block {bi}"
+                )
             offs[bi] = p
             f = mv[p + 2] == 0xFC
             flat[bi] = f
             p += 3 if f else 14
+        if p > len(mv):
+            raise ValueError("corrupt EXR: B44 stream truncated")
         pos = p
 
         tiles = np.empty((n_blocks, 16), np.uint16)
@@ -1116,7 +1177,8 @@ def _parse_chlist(raw: bytes) -> List[Tuple[str, int]]:
 
 def _parse_chlist_plinear(raw: bytes) -> Dict[str, bool]:
     """Per-channel pLinear flags (byte 4 of each channel record) — consulted
-    by the B44/DWA decoders, which change behaviour on pLinear channels."""
+    by the B44 decoder, which rejects pLinear channels (empirically their
+    decode differs; DWA ignores the flag, matching libOpenEXR)."""
     flags = {}
     i = 0
     while raw[i] != 0:
@@ -1151,6 +1213,8 @@ def read(path: str) -> np.ndarray:
 
     bytes_per_px = sum(np.dtype(_DTYPES[pt]).itemsize for _, pt in chans)
     out = {name: np.empty((H, W), np.float32) for name, _ in chans}
+    plinear = (_parse_chlist_plinear(attrs["channels"][1])
+               if compression in (B44, B44A) else None)
 
     for bi, boff in enumerate(offsets):
         y, size = struct.unpack("<ii", data[boff : boff + 8])
@@ -1173,10 +1237,7 @@ def read(path: str) -> np.ndarray:
         elif compression == PXR24 and len(block) < expected:
             raw = _pxr24_decompress(block, chans, W, n_lines)
         elif compression in (B44, B44A) and len(block) < expected:
-            raw = _b44_decompress(
-                block, chans, W, n_lines,
-                _parse_chlist_plinear(attrs["channels"][1]),
-            )
+            raw = _b44_decompress(block, chans, W, n_lines, plinear)
         elif compression in (DWAA, DWAB) and len(block) < expected:
             raw = _dwa_decompress(block, chans, W, n_lines)
         else:

@@ -69,30 +69,17 @@ def _canon_from_torch_state(state) -> Dict[str, np.ndarray]:
     return out
 
 
+def _missing_keys(canon: Dict[str, np.ndarray]) -> list:
+    return [k for k in
+            [f"conv{i}_{a}" for i in range(5) for a in "wb"]
+            + [f"lin{i}" for i in range(5)]
+            if k not in canon]
+
+
 def load_weights(path: str) -> Dict[str, np.ndarray]:
     """Load LPIPS-alex weights from `path` (see module docstring)."""
-    canon: Dict[str, np.ndarray] = {}
-    if os.path.isdir(path):
-        files = [os.path.join(path, f) for f in sorted(os.listdir(path))
-                 if f.endswith((".pth", ".pt", ".npz"))]
-    else:
-        files = [path]
-    for f in files:
-        if f.endswith(".npz"):
-            canon.update({k: np.asarray(v, np.float32)
-                          for k, v in np.load(f).items()})
-        else:
-            import torch  # loading .pth requires torch (cpu build is fine)
-
-            state = torch.load(f, map_location="cpu", weights_only=True)
-            if hasattr(state, "state_dict"):
-                state = state.state_dict()
-            canon.update(_canon_from_torch_state(state))
-
-    missing = [k for k in
-               [f"conv{i}_{a}" for i in range(5) for a in "wb"]
-               + [f"lin{i}" for i in range(5)]
-               if k not in canon]
+    canon = _collect_partial(path)
+    missing = _missing_keys(canon)
     if missing:
         raise ValueError(
             f"LPIPS weights at {path!r} are incomplete: missing {missing}. "
@@ -273,10 +260,7 @@ def _collect_partial(path: str) -> Dict[str, np.ndarray]:
 
 
 def _finalize(canon: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    missing = [k for k in
-               [f"conv{i}_{a}" for i in range(5) for a in "wb"]
-               + [f"lin{i}" for i in range(5)]
-               if k not in canon]
+    missing = _missing_keys(canon)
     if missing:
         raise SystemExit(f"export incomplete: missing {missing} — supply a "
                          "full lpips.LPIPS state dict, or a torchvision "
