@@ -93,40 +93,77 @@ def main():
 
     results = {"S": S, "R": R}
     variants = {}
-    for rt in ("sg", "pt_render", "pt_render_indirect_mlp"):
+    # ladder: path_tracing = one-shade + MC math, NO secondary (2 strategies);
+    # path_tracing_shadow = + secondary TRACE of 3xS*R rays (hard shadow, no
+    # vis/indirect MLPs); pt_render_indirect_mlp = + vis/indirect MLP evals
+    for rt in ("path_tracing", "path_tracing_shadow", "pt_render_indirect_mlp"):
         model = dc.replace(base, fast_multi_ray=True, render_type=rt)
         tr = dc.replace(model.ray_tracer, sampler_budget=1024, minsdf_budget=1024)
         model = dc.replace(model, ray_tracer=tr)
         t, ev = timed(model, rt)
         variants[rt] = {"s": t, "px_per_s": S / t, "sdf_evals": ev}
+
+    # primary-trace-only timing (render_type "sg" can't stand in for it: the
+    # flagship's per-point roughness violates render_with_sg's [K,1] base-
+    # material contract, in the reference too — sg_render.py:168,177)
+    from nefii_tpu.utils.camera import get_camera_params
+
+    model = dc.replace(base, fast_multi_ray=True)
+    tr = dc.replace(model.ray_tracer, sampler_budget=1024, minsdf_budget=1024)
+
+    @jax.jit
+    def trace_only(params, uv, key):
+        ray_dirs, cam_loc = get_camera_params(
+            jnp.mean(uv, axis=2), posej, Kj)
+        sdf_fn = model._sdf_closure(params["implicit_network"])
+        res = tr(sdf_fn, cam_loc, mask.reshape(-1), ray_dirs, key=key,
+                 training=False,
+                 sphere_trace_fn=model._fused_trace_closure(
+                     params["implicit_network"], tr))
+        return res.dists, res.n_evals
+
+    d, ev = trace_only(params, uv, jax.random.PRNGKey(0))
+    d.block_until_ready()
+    tt = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        d, ev = trace_only(params, uv + i * 1e-4, jax.random.PRNGKey(10 + i))
+        float(np.asarray(d).sum())
+        tt.append(time.perf_counter() - t0)
+    tt.sort()
+    t_tr, ev_tr = tt[len(tt) // 2], int(np.asarray(ev))
+    print(f"[{'primary_trace':>24}] {t_tr*1000:8.1f} ms  {S/t_tr:7.1f} px/s  "
+          f"sdf_evals={ev_tr/1e6:.2f}M", flush=True)
+    variants["primary_trace"] = {"s": t_tr, "px_per_s": S / t_tr,
+                                 "sdf_evals": ev_tr}
     results["variants"] = variants
 
     t_full = variants["pt_render_indirect_mlp"]["s"]
-    t_pt = variants["pt_render"]["s"]
-    t_sg = variants["sg"]["s"]
-    ev_full = variants["pt_render_indirect_mlp"]["sdf_evals"]
-    ev_sg = variants["sg"]["sdf_evals"]
-    sec_trace_evals = ev_full - ev_sg
+    t_shadow = variants["path_tracing_shadow"]["s"]
+    t_pt = variants["path_tracing"]["s"]
+    ev_shadow = variants["path_tracing_shadow"]["sdf_evals"]
+    ev_pt = variants["path_tracing"]["sdf_evals"]
+    sec_trace_evals = ev_shadow - ev_pt
     n_sec = 3 * S * R
     results["phases"] = {
-        "primary_trace_and_one_shade_s": t_sg,
-        "mc_sampler_brdf_math_s": t_pt - t_sg,
-        "secondary_trace_vis_indirect_s": t_full - t_pt,
+        "primary_trace_s": t_tr,
+        "one_shade_mc_sampler_brdf_math_s": t_pt - t_tr,
+        "secondary_trace_s": t_shadow - t_pt,
+        "vis_indirect_mlp_s": t_full - t_shadow,
         "secondary_trace_sdf_evals": sec_trace_evals,
         "n_secondary_rays": n_sec,
     }
-    # MXU accounting for the dominant secondary phase: trace matmuls +
-    # vis/indirect MLP matmuls over the measured hit fraction (upper-bound
-    # hits = all secondary rays)
+    # MXU accounting: the secondary trace phase is sec_trace_evals fused-SDF
+    # matmuls; the vis/indirect phase is a dense fused fwd+input-grad SDF
+    # eval + radiance-net eval at every secondary ray (3*S*R)
     tflop_trace = sec_trace_evals * SDF_MFLOP * 1e6 / 1e12
-    tflop_visind_max = n_sec * VIS_IND_MFLOP * 1e6 / 1e12
+    tflop_visind = n_sec * VIS_IND_MFLOP * 1e6 / 1e12
     results["mxu"] = {
         "secondary_trace_tflop": round(tflop_trace, 2),
-        "vis_indirect_tflop_upper": round(tflop_visind_max, 2),
-        "secondary_phase_s": t_full - t_pt,
-        "sustained_tflops_lower": round(tflop_trace / (t_full - t_pt), 1),
-        "sustained_tflops_upper": round(
-            (tflop_trace + tflop_visind_max) / (t_full - t_pt), 1),
+        "vis_indirect_tflop": round(tflop_visind, 2),
+        "trace_sustained_tflops": round(tflop_trace / (t_shadow - t_pt), 1),
+        "vis_indirect_sustained_tflops": round(
+            tflop_visind / (t_full - t_shadow), 1),
     }
     print(json.dumps(results, indent=1))
     json.dump(results, open(out_path, "w"), indent=1)

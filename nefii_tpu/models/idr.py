@@ -89,7 +89,8 @@ PT_RENDER_TYPES = {
 # the trainer (warning + auto-escalation) and bench.py all import this.
 OVERFLOW_KEYS = (
     "sampler_overflow", "minsdf_overflow", "shade_overflow",
-    "secondary_overflow", "trace_overflow",
+    "secondary_overflow", "trace_overflow", "indirect_overflow",
+    "cull_overflow", "rootfind_overflow",
 )
 
 
@@ -127,6 +128,22 @@ class IDRNetwork:
     #    lets UNFROZEN-geometry training fit at the reference scale.
     remat_strategies: bool = False
     shade_fraction: float = 1.0
+    #  - indirect_fraction: compact the secondary vis/indirect MLP chain to a
+    #    static budget of HIT rays per MIS strategy (non-diff_geo "indirect"
+    #    renders only). Hard visibility is 1-hit_mask and indirect radiance
+    #    is masked to hits, so results are unchanged while the budget covers
+    #    the per-strategy hit count; overflow hits degrade to 0-indirect,
+    #    counted in indirect_overflow (trainer auto-escalates). 1.0 = dense.
+    indirect_fraction: float = 1.0
+    #  - secondary_fraction: horizon-cull the secondary TRACE to a static
+    #    budget of secondary_fraction * 3*S*R rays, above-horizon rays first
+    #    (eval only — training keeps the dense trace for the distillation
+    #    buffers). Every strategy's contribution carries clip(wi.n, 0), so
+    #    below-horizon rays contribute exactly 0 and skipping their trace is
+    #    estimator-exact while the budget covers the above-horizon count;
+    #    overflow rays degrade to unoccluded-no-indirect, counted in
+    #    cull_overflow (exact iff 0). 1.0 = dense.
+    secondary_fraction: float = 1.0
     #  - secondary_ray_tracer: tracer override for the secondary-ray fan-out
     #    (3 MIS strategies x S·R rays). The reference traces secondary rays
     #    with the SAME tracer (path_tracing_render.py:1332-1375); these rays
@@ -177,6 +194,8 @@ class IDRNetwork:
             use_fused_trace=conf.get_bool("use_fused_trace", default=False),
             remat_strategies=conf.get_bool("remat_strategies", default=False),
             shade_fraction=conf.get_float("shade_fraction", default=1.0),
+            indirect_fraction=conf.get_float("indirect_fraction", default=1.0),
+            secondary_fraction=conf.get_float("secondary_fraction", default=1.0),
             secondary_ray_tracer=secondary_tracer,
         )
 
@@ -295,7 +314,8 @@ class IDRNetwork:
             )
             return (
                 res.points, res.object_mask, res.dists, res.n_evals,
-                res.sampler_overflow + res.minsdf_overflow + res.trace_overflow,
+                res.sampler_overflow + res.minsdf_overflow
+                + res.trace_overflow + res.rootfind_overflow,
             )
 
         return ptr.SceneFns(
@@ -554,6 +574,9 @@ class IDRNetwork:
             "shade_overflow": shade_overflow,
             "secondary_overflow": ret.get("n_overflow", jnp.int32(0)),
             "trace_overflow": trace_res.trace_overflow,
+            "indirect_overflow": ret.get("n_indirect_overflow", jnp.int32(0)),
+            "cull_overflow": ret.get("n_cull_overflow", jnp.int32(0)),
+            "rootfind_overflow": trace_res.rootfind_overflow,
         }
 
         if multi_ray and not self.fast_multi_ray:
@@ -611,6 +634,7 @@ class IDRNetwork:
             # budgeted fallbacks too — surface its overflow so the trainer's
             # counters/warning/auto-escalation see it (exact iff 0)
             "secondary_overflow": ret.get("n_overflow", jnp.int32(0)),
+            "indirect_overflow": ret.get("n_indirect_overflow", jnp.int32(0)),
         }
 
     # ------------------------------------------------------------------
@@ -703,6 +727,8 @@ class IDRNetwork:
                 blending_weights=mat["sg_blending_weights"],
                 training=training, remat_strategies=self.remat_strategies,
                 wi_override=wi_override,
+                indirect_fraction=self.indirect_fraction,
+                secondary_fraction=self.secondary_fraction,
                 **opts,
             )
 

@@ -188,9 +188,47 @@ def pt_render_core(
     training: bool = False,
     remat_strategies: bool = False,  # jax.checkpoint each strategy's block
     wi_override: Optional[Tuple[jnp.ndarray, ...]] = None,
+    indirect_fraction: float = 1.0,
+    secondary_fraction: float = 1.0,
 ) -> Dict[str, jnp.ndarray]:
     N = normal.shape[0]
     S = len(strategies)
+
+    # Horizon-culled secondary trace (eval only): every strategy's
+    # contribution is multiplied by clip(wi.n, 0) (strategy_contrib below),
+    # so a secondary ray with wi.n <= 0 contributes EXACTLY zero no matter
+    # what its trace returns — tracing it is pure waste. With a budget of
+    # secondary_fraction * S*N rays, the above-horizon rays are gathered
+    # first (stable argsort on the sign mask), only those trace, and results
+    # scatter back with miss defaults for the culled remainder. Exact while
+    # the budget covers the above-horizon count; above-horizon rays beyond
+    # it degrade to unoccluded-no-indirect and are counted in
+    # n_cull_overflow (exact iff 0). Training stays dense: the secondary
+    # self-distillation buffers supervise the vis/indirect MLPs on ALL
+    # traced hits, including below-horizon directions the estimator ignores.
+    horizon_budget = None
+    if (secondary_fraction < 1.0 and not training and speed_first
+            and shadow is not None):
+        horizon_budget = min(max(int(S * N * secondary_fraction + 0.5), 128),
+                             S * N)
+        if horizon_budget >= S * N:
+            horizon_budget = None
+
+    # Hit-compacted vis/indirect (non-diff_geo "indirect" only): the
+    # indirect-radiance MLP chain (fused SDF fwd+input-grad + radiance net)
+    # is evaluated densely at every secondary ray but its output is masked
+    # to HITS (visibility_and_indirect's `where(hit_mask, idr_rgb, 0)`), and
+    # hard visibility is 1-hit_mask, no SDF needed — so gathering the hit
+    # rays into a static budget before the MLPs and scattering zeros back is
+    # EXACT whenever the budget covers the hit count (overflow hits beyond
+    # it degrade to 0-indirect, counted in n_indirect_overflow, same
+    # accounting as every other compaction budget). diff_geo soft visibility
+    # needs the SDF at every ray, so that path stays dense.
+    indirect_budget = None
+    if indirect_fraction < 1.0 and shadow == "indirect" and not diff_geo:
+        indirect_budget = min(max(int(N * indirect_fraction + 0.5), 128), N)
+        if indirect_budget >= N:
+            indirect_budget = None
 
     if blend_materials and blending_weights is not None:
         # K base materials blended per-point before sampling (:1757-1764)
@@ -281,14 +319,36 @@ def pt_render_core(
             return stop_grad(lp), hm, stop_grad(ds), ne, ov
 
         trace_keys = jax.random.split(keys[S], S)
+        n_cull_overflow = jnp.int32(0)
         if speed_first:
             all_pts = jnp.tile(pts_flat, (S, 1))
             all_dirs = jnp.concatenate(wi_list, axis=0)
-            res = scene.trace(all_pts, all_dirs, trace_keys[0], trace_training)
-            lp, hm, ds = res[0], res[1], res[2]
-            n_trace_evals = res[3] if len(res) > 3 else jnp.int32(0)
-            n_trace_overflow = res[4] if len(res) > 4 else jnp.int32(0)
-            lp, ds = stop_grad(lp), stop_grad(ds)
+            if horizon_budget is not None:
+                # gather above-horizon rays first, trace only the budget,
+                # scatter back with miss defaults (hm=False, lp=origin) for
+                # the culled remainder — see horizon_budget above
+                all_n = jnp.tile(stop_grad(normal), (S, 1))
+                above = jnp.sum(all_dirs * all_n, -1) > 0.0
+                order = jnp.argsort(~above, stable=True)
+                sel = order[:horizon_budget]
+                res = scene.trace(all_pts[sel], all_dirs[sel], trace_keys[0],
+                                  trace_training)
+                lp_c, hm_c, ds_c = res[0], res[1], res[2]
+                n_trace_evals = res[3] if len(res) > 3 else jnp.int32(0)
+                n_trace_overflow = res[4] if len(res) > 4 else jnp.int32(0)
+                lp = all_pts.at[sel].set(stop_grad(lp_c))
+                hm = jnp.zeros((S * N,), bool).at[sel].set(hm_c)
+                ds = jnp.zeros((S * N,), ds_c.dtype).at[sel].set(
+                    stop_grad(ds_c))
+                n_cull_overflow = jnp.maximum(
+                    above.sum().astype(jnp.int32) - horizon_budget, 0)
+            else:
+                res = scene.trace(all_pts, all_dirs, trace_keys[0],
+                                  trace_training)
+                lp, hm, ds = res[0], res[1], res[2]
+                n_trace_evals = res[3] if len(res) > 3 else jnp.int32(0)
+                n_trace_overflow = res[4] if len(res) > 4 else jnp.int32(0)
+                lp, ds = stop_grad(lp), stop_grad(ds)
             for i in range(S):
                 hit_list.append(
                     (lp[i * N : (i + 1) * N], hm[i * N : (i + 1) * N, None], ds[i * N : (i + 1) * N, None])
@@ -335,9 +395,23 @@ def pt_render_core(
             visible = 1 - jnp.log(1 + jnp.exp(-50.0 * sdf_value)) / np.log(2.0)
             indirect = None
         elif shadow == "indirect":
-            visible, indirect = visibility_and_indirect(
-                scene, lp, hm, ds, wi, stop_grad(points), diff_geo
-            )
+            if indirect_budget is not None:
+                # gather hit rays first into the static budget, run the MLP
+                # chain there only, scatter zeros back (exact while the
+                # budget covers the hits — see indirect_budget above)
+                hmf = hm[:, 0]
+                order = jnp.argsort(~hmf, stable=True)
+                sel = order[:indirect_budget]
+                _, ind_c = visibility_and_indirect(
+                    scene, lp[sel], hm[sel], ds[sel], wi[sel],
+                    stop_grad(points)[sel], diff_geo,
+                )
+                visible = 1.0 - hm.astype(jnp.float32)
+                indirect = jnp.zeros((N, 3), ind_c.dtype).at[sel].set(ind_c)
+            else:
+                visible, indirect = visibility_and_indirect(
+                    scene, lp, hm, ds, wi, stop_grad(points), diff_geo
+                )
         else:
             raise ValueError(shadow)
 
@@ -400,10 +474,25 @@ def pt_render_core(
         ret["secondary_mask"] = jnp.stack([h[1] for h in hit_list], 0)     # [S,N,1]
         ret["secondary_dir"] = jnp.stack(wi_list, 0)                       # [S,N,3]
         # secondary SDF point-samples: trace + one visibility eval per ray
-        vis_evals = S * N if shadow in ("soft", "indirect") else 0
+        # (per budgeted ray when the vis/indirect compaction is on)
+        per_strategy = indirect_budget if indirect_budget is not None else N
+        vis_evals = S * per_strategy if shadow in ("soft", "indirect") else 0
         ret["n_sdf_evals"] = n_trace_evals + jnp.int32(vis_evals)
         # secondary rays the tracer's budgeted fallbacks dropped (exact iff 0)
         ret["n_overflow"] = n_trace_overflow
+        # above-horizon rays the horizon-cull budget left untraced (exact
+        # iff 0; below-horizon rays are never counted — they contribute 0)
+        ret["n_cull_overflow"] = n_cull_overflow
+        if indirect_budget is not None:
+            # hit rays whose indirect radiance degraded to 0 (exact iff 0)
+            ovf = jnp.int32(0)
+            for _, hm_i, _ in hit_list:
+                ovf = ovf + jnp.maximum(
+                    hm_i.sum().astype(jnp.int32) - indirect_budget, 0
+                )
+            ret["n_indirect_overflow"] = ovf
+        else:
+            ret["n_indirect_overflow"] = jnp.int32(0)
     return ret
 
 

@@ -61,6 +61,9 @@ class TraceResult(NamedTuple):
     # degraded those rays to defaults — results are exact iff both are 0.
     sampler_overflow: Any = 0
     minsdf_overflow: Any = 0
+    # bracketed sign-change rays the rootfind compaction left un-iterated
+    # (they keep the 0-step prediction; exact iff 0)
+    rootfind_overflow: Any = 0
     # live rays the mid-trace compaction could not fit in compact_budget:
     # they stop iterating at compact_after and fall through to the sampler
     # (still counted — results are exact iff 0)
@@ -80,6 +83,13 @@ class RayTracer:
     sampler_budget: Optional[int] = None   # static cap on rays taking the 100-step path
     minsdf_budget: Optional[int] = None    # static cap on rays taking the min-SDF path
     rootfind_method: str = "bisection"     # "bisection" | "secant" (reference :259-307)
+    # static cap on rays ITERATING the rootfind: only rays with a bracketed
+    # sign change (sdf_low>0 & sdf_high<0) advance past the 0-step
+    # prediction — the rootfind's while-loop body is masked for everyone
+    # else — so gathering the bracketed rays into this budget and scattering
+    # the refined roots back over the dense 0-step prediction is EXACT while
+    # the budget covers the bracketed count (overflow counted).
+    rootfind_budget: Optional[int] = None
     # Mid-trace live-ray compaction: the dense masked trace evaluates the SDF
     # on ALL rays every iteration even after most converge (live fraction
     # measured ~20-30% after 2 iterations on trained geometry). With both set,
@@ -137,7 +147,7 @@ class RayTracer:
 
         # fallback sampler for rays the tracer did not converge on
         (sampler_pts, sampler_obj, sampler_dists, sampler_evals,
-         sampler_overflow) = self._ray_sampler(
+         sampler_overflow, rootfind_overflow) = self._ray_sampler(
             sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
         )
         n_evals = n_evals + sampler_evals
@@ -150,6 +160,7 @@ class RayTracer:
             return TraceResult(
                 points, network_object_mask, dists, n_evals, sampler_overflow,
                 trace_overflow=trace_overflow,
+                rootfind_overflow=rootfind_overflow,
             )
 
         # ---- training extras: min-SDF points for the mask loss -------------
@@ -176,7 +187,8 @@ class RayTracer:
         points = cam + dists[:, None] * dirs
         return TraceResult(
             points, network_object_mask, dists, n_evals,
-            sampler_overflow, minsdf_overflow, trace_overflow,
+            sampler_overflow, minsdf_overflow, rootfind_overflow,
+            trace_overflow,
         )
 
     # ------------------------------------------------------------------
@@ -333,9 +345,10 @@ class RayTracer:
         N = cam.shape[0]
         budget = self.sampler_budget
         if budget is None or budget >= N:
-            return self._ray_sampler_dense(
+            res = self._ray_sampler_dense(
                 sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
-            ) + (jnp.int32(0),)
+            )
+            return res[:4] + (jnp.int32(0), res[4])
 
         # compact: stable argsort with unfinished rays first
         order = jnp.argsort(~sampler_mask, stable=True)
@@ -343,7 +356,7 @@ class RayTracer:
         overflow = jnp.maximum(
             sampler_mask.sum().astype(jnp.int32) - budget, 0
         )
-        pts, obj, dist, n_ev = self._ray_sampler_dense(
+        pts, obj, dist, n_ev, rf_overflow = self._ray_sampler_dense(
             sdf_fn,
             cam[sel],
             dirs[sel],
@@ -360,7 +373,7 @@ class RayTracer:
         full_pts = full_pts.at[sel].set(pts)
         full_obj = full_obj.at[sel].set(obj)
         full_dist = full_dist.at[sel].set(dist)
-        return full_pts, full_obj, full_dist, n_ev, overflow
+        return full_pts, full_obj, full_dist, n_ev, overflow, rf_overflow
 
     def _ray_sampler_dense(
         self, sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
@@ -401,12 +414,42 @@ class RayTracer:
         z_low = take(pts_intervals, prev)
         sdf_low = take(sdf_val, prev)
         rf = self._secant if self.rootfind_method == "secant" else self._bisection
-        z_pred, bisect_evals = rf(sdf_fn, sdf_low, sdf_high, z_low, z_high, cam, dirs)
+        rf_budget = self.rootfind_budget
+        rootfind_overflow = jnp.int32(0)
+        if rf_budget is not None and rf_budget < N:
+            # Compact the rootfind to the net_surface rays. Only their z is
+            # ever consumed (rootfind_pts is a subset of net_surface), and
+            # net_surface contains every `work` ray driving the loop's
+            # global any(work) condition, so the subset runs the SAME number
+            # of iterations and each selected ray's per-iteration updates
+            # (own z_mid / own sdf_mid) are unchanged — bit-exact while the
+            # budget covers the net_surface count. Overflow rays keep the
+            # 0-step prediction and are counted.
+            order = jnp.argsort(~net_surface, stable=True)
+            sel = order[:rf_budget]
+            rootfind_overflow = jnp.maximum(
+                net_surface.sum().astype(jnp.int32) - rf_budget, 0
+            )
+            z_sub, bisect_evals = rf(
+                sdf_fn, sdf_low[sel], sdf_high[sel], z_low[sel], z_high[sel],
+                cam[sel], dirs[sel],
+            )
+            if self.rootfind_method == "secant":
+                eps = 1e-8
+                z0 = -sdf_low * (z_high - z_low) / (sdf_high - sdf_low + eps) + z_low
+                z0 = jnp.clip(z0, 0.0, 2e1)
+            else:
+                z0 = (z_low + z_high) / 2.0
+            z_pred = z0.at[sel].set(z_sub)
+        else:
+            z_pred, bisect_evals = rf(
+                sdf_fn, sdf_low, sdf_high, z_low, z_high, cam, dirs
+            )
         sampler_dists = jnp.where(rootfind_pts, z_pred, sampler_dists)
 
         sampler_pts = cam + sampler_dists[:, None] * dirs
         n_ev = jnp.int32(N * n) + bisect_evals
-        return sampler_pts, sampler_net_obj_mask, sampler_dists, n_ev
+        return sampler_pts, sampler_net_obj_mask, sampler_dists, n_ev, rootfind_overflow
 
     def _bisection(self, sdf_fn, sdf_low, sdf_high, z_low, z_high, cam, dirs):
         """Masked bisection (reference `rootfind`, ray_tracing.py:259-280)."""

@@ -756,6 +756,11 @@ class IDRTrainRunner:
                     if nb > sec.minsdf_budget:
                         sec = dc.replace(sec, minsdf_budget=nb)
                         changed.append(f"secondary minsdf_budget->{nb}")
+                if sec.rootfind_budget:
+                    nb = min(2 * sec.rootfind_budget, 3 * n_local)
+                    if nb > sec.rootfind_budget:
+                        sec = dc.replace(sec, rootfind_budget=nb)
+                        changed.append(f"secondary rootfind_budget->{nb}")
             else:
                 if tracer.sampler_budget:
                     nb = min(2 * tracer.sampler_budget, 3 * n_local)
@@ -772,11 +777,25 @@ class IDRTrainRunner:
                     if nb > tracer.minsdf_budget:
                         tracer = dc.replace(tracer, minsdf_budget=nb)
                         changed.append(f"minsdf_budget->{nb} (shared secondary)")
+                if tracer.rootfind_budget:
+                    nb = min(2 * tracer.rootfind_budget, 3 * n_local)
+                    if nb > tracer.rootfind_budget:
+                        tracer = dc.replace(tracer, rootfind_budget=nb)
+                        changed.append(f"rootfind_budget->{nb} (shared secondary)")
         if counts.get("trace_overflow") and tracer.compact_budget:
             nb = min(2 * tracer.compact_budget, n_local)
             if nb > tracer.compact_budget:
                 tracer = dc.replace(tracer, compact_budget=nb)
                 changed.append(f"compact_budget->{nb}")
+        if counts.get("indirect_overflow") and self.model.indirect_fraction < 1.0:
+            nf = min(2.0 * self.model.indirect_fraction, 1.0)
+            self.model = dc.replace(self.model, indirect_fraction=nf)
+            changed.append(f"indirect_fraction->{nf:g}")
+        if counts.get("rootfind_overflow") and tracer.rootfind_budget:
+            nb = min(2 * tracer.rootfind_budget, n_local)
+            if nb > tracer.rootfind_budget:
+                tracer = dc.replace(tracer, rootfind_budget=nb)
+                changed.append(f"rootfind_budget->{nb}")
         if not changed:
             return
         self.model = dc.replace(

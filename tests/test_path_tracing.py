@@ -248,3 +248,94 @@ def test_blend_variants_equal_preblended_estimator():
         key, _light(), spec_k, rough_k, alb, nrm, vw, pts, scene,
         blending_weights=w)
     assert not np.allclose(np.asarray(a["sg_rgb"]), np.asarray(b["sg_rgb"]))
+
+
+def test_indirect_compaction_exact_and_counts_overflow():
+    """Hit-compacted vis/indirect (indirect_fraction < 1, non-diff_geo):
+    sampling happens at full N BEFORE the compaction, so with the budget
+    covering the per-strategy hit count every output is BIT-identical to the
+    dense run and indirect_overflow is 0; with a starved budget the overflow
+    counter reports exactly the dropped hits and only indirect-lit pixels
+    change."""
+    sdf_fn = lambda x: jnp.linalg.norm(x, axis=-1) - 0.3
+    scene = _mock_scene(sdf_fn)
+    n = 512
+    pts = jnp.tile(jnp.array([[0.0, 0.0, -0.6]]), (n, 1))
+    nrm = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    key = jax.random.PRNGKey(5)
+    args = (
+        _light(), jnp.full((1, 3), 0.04), jnp.full((n, 1), 0.5),
+        jnp.full((n, 3), 0.5), nrm, nrm, pts, scene,
+    )
+    kw = dict(strategies=("cos", "brdf", "mix_sg"), shadow="indirect",
+              diff_geo=False)
+
+    dense = pt.pt_render_core(key, *args, **kw)
+    hits = np.asarray(dense["secondary_mask"])[..., 0].sum(1)  # per strategy
+    assert hits.max() > 0
+    frac_ok = (hits.max() + 16) / n
+
+    compact = pt.pt_render_core(key, *args, indirect_fraction=float(frac_ok), **kw)
+    assert int(compact["n_indirect_overflow"]) == 0
+    for k in ("sg_rgb", "sg_specular_rgb", "sg_diffuse_rgb"):
+        np.testing.assert_array_equal(
+            np.asarray(dense[k]), np.asarray(compact[k]), err_msg=k)
+
+    starved = pt.pt_render_core(key, *args, indirect_fraction=128.0 / n, **kw)
+    expect_drop = int(np.maximum(hits - 128, 0).sum())
+    assert expect_drop > 0
+    assert int(starved["n_indirect_overflow"]) == expect_drop
+
+    # diff_geo soft visibility needs the SDF at every ray: stays dense
+    diffgeo = pt.pt_render_core(
+        key, *args, indirect_fraction=0.25,
+        strategies=("cos", "brdf", "mix_sg"), shadow="indirect", diff_geo=True)
+    assert int(diffgeo["n_indirect_overflow"]) == 0
+
+
+def test_horizon_cull_exact_and_counts_overflow():
+    """Horizon-culled secondary trace (secondary_fraction < 1, eval only):
+    every strategy's contribution carries clip(wi.n, 0), so rays with
+    wi.n <= 0 contribute exactly 0 — with the budget covering the
+    above-horizon count the rgb outputs are BIT-identical to the dense
+    trace and cull_overflow is 0; a starved budget reports exactly the
+    untraced above-horizon rays; training keeps the dense trace."""
+    sdf_fn = lambda x: jnp.linalg.norm(x, axis=-1) - 0.3
+    scene = _mock_scene(sdf_fn)
+    n = 512
+    pts = jnp.tile(jnp.array([[0.0, 0.0, -0.6]]), (n, 1))
+    nrm = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    key = jax.random.PRNGKey(7)
+    args = (
+        _light(), jnp.full((1, 3), 0.04), jnp.full((n, 1), 0.5),
+        jnp.full((n, 3), 0.5), nrm, nrm, pts, scene,
+    )
+    kw = dict(strategies=("cos", "brdf", "mix_sg"), shadow="indirect",
+              diff_geo=False)
+
+    dense = pt.pt_render_core(key, *args, **kw)
+    wdn = np.asarray(dense["secondary_dir"]) @ np.array([0.0, 0.0, 1.0])
+    n_above = int((wdn > 0).sum())
+    assert n_above < 3 * n  # brdf/mix_sg sample some below-horizon dirs
+
+    frac_ok = (n_above + 16) / (3 * n)
+    culled = pt.pt_render_core(key, *args, secondary_fraction=frac_ok, **kw)
+    assert int(culled["n_cull_overflow"]) == 0
+    for k in ("sg_rgb", "sg_specular_rgb", "sg_diffuse_rgb"):
+        np.testing.assert_array_equal(
+            np.asarray(dense[k]), np.asarray(culled[k]), err_msg=k)
+
+    budget = max(128, (n_above - 100))
+    starved = pt.pt_render_core(
+        key, *args, secondary_fraction=budget / (3 * n), **kw)
+    # +-1: the engine rounds the fraction to its own integer budget
+    assert abs(int(starved["n_cull_overflow"]) - (n_above - budget)) <= 1
+
+    # training renders keep the dense trace (distillation buffers intact)
+    trained = pt.pt_render_core(
+        key, *args, secondary_fraction=0.25, training=True, **kw)
+    assert int(trained["n_cull_overflow"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(trained["secondary_mask"]),
+        np.asarray(pt.pt_render_core(key, *args, training=True,
+                                     **kw)["secondary_mask"]))

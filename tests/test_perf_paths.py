@@ -345,3 +345,30 @@ def test_forward_overflow_counters():
     )
     out_c = comp.forward(params, inputs, key, training=True)
     assert int(out_c["trace_overflow"]) > 0
+
+
+def test_indirect_fraction_model_level_bit_exact():
+    """Model-level indirect_fraction: the vis/indirect compaction happens
+    AFTER all MC sampling, so (unlike shade_fraction) no random-draw shape
+    changes — the full forward is bit-identical to dense whenever the budget
+    covers the hit count, and the conf knob parses."""
+    conf = parse_string(
+        SMALL_CONF.replace(
+            "    render_type = pt_render_indirect_mlp",
+            "    render_type = pt_render_indirect_mlp\n    indirect_fraction = 0.99",
+        )
+    ).get_config("model")
+    compact_model = IDRNetwork.from_conf(conf)
+    assert compact_model.indirect_fraction == 0.99
+    dense_model = dataclasses.replace(compact_model, indirect_fraction=1.0)
+
+    inputs = _inputs(S=48, R=4)
+    params = dense_model.init_params(jax.random.PRNGKey(0))
+    out_d = dense_model.forward(params, inputs, jax.random.PRNGKey(1),
+                                training=False)
+    out_c = compact_model.forward(params, inputs, jax.random.PRNGKey(1),
+                                  training=False)
+    assert int(out_c["indirect_overflow"]) == 0
+    for k in ("sg_rgb_values", "idr_rgb_values", "sg_specular_rgb_values"):
+        np.testing.assert_array_equal(
+            np.asarray(out_d[k]), np.asarray(out_c[k]), err_msg=k)

@@ -279,3 +279,52 @@ def test_midtrace_compaction_overflow_counted():
     got = np.asarray(r.dists)[hit]
     want = t_true[hit]
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_rootfind_compaction_exact_and_overflow_counted():
+    """rootfind_budget compacts the sampler's root-find to the net_surface
+    rays. The compacted subset contains every `work` ray driving the loop's
+    any(work) condition, so iteration counts and per-ray updates match the
+    dense run BIT-exactly while the budget covers the net_surface count;
+    a starved budget reports the shortfall in rootfind_overflow."""
+    cam, dirs = _camera_rays(n_side=8, spread=0.6)
+    S = dirs.shape[1]
+    obj = jnp.ones((S,), bool)
+    key = jax.random.PRNGKey(0)
+
+    for method in ("bisection", "secant"):
+        # sphere_tracing_iters=0 -> every intersecting ray takes the sampler,
+        # so the rootfind sees a realistic mixed batch of hits and misses
+        dense = RayTracer(sphere_tracing_iters=0, n_steps=50,
+                          n_rootfind_steps=16, rootfind_method=method)
+        r_d = dense(sphere_sdf(0.5), cam, obj, dirs, key=key, training=True)
+        n_hits = int(np.asarray(r_d.object_mask).sum())
+        assert 0 < n_hits < S
+
+        comp = RayTracer(sphere_tracing_iters=0, n_steps=50,
+                         n_rootfind_steps=16, rootfind_method=method,
+                         rootfind_budget=n_hits + 4)
+        r_c = comp(sphere_sdf(0.5), cam, obj, dirs, key=key, training=True)
+        assert int(r_c.rootfind_overflow) == 0
+        np.testing.assert_array_equal(
+            np.asarray(r_d.object_mask), np.asarray(r_c.object_mask))
+        np.testing.assert_array_equal(
+            np.asarray(r_d.dists), np.asarray(r_c.dists), err_msg=method)
+        assert int(r_c.n_evals) < int(r_d.n_evals)
+
+        starved = RayTracer(sphere_tracing_iters=0, n_steps=50,
+                            n_rootfind_steps=16, rootfind_method=method,
+                            rootfind_budget=2)
+        r_s = starved(sphere_sdf(0.5), cam, obj, dirs, key=key, training=True)
+        assert int(r_s.rootfind_overflow) > 0
+        assert np.isfinite(np.asarray(r_s.dists)).all()
+
+    # composes with the sampler budget (rootfind inside the sampler subset;
+    # method pinned to the loop's last iteration so r_d matches)
+    both = RayTracer(sphere_tracing_iters=0, n_steps=50, n_rootfind_steps=16,
+                     rootfind_method="secant",
+                     sampler_budget=S, rootfind_budget=n_hits + 4)
+    r_b = both(sphere_sdf(0.5), cam, obj, dirs, key=key, training=True)
+    assert int(r_b.rootfind_overflow) == 0
+    np.testing.assert_array_equal(
+        np.asarray(r_b.dists), np.asarray(r_d.dists))
