@@ -342,11 +342,27 @@ def bench_aa_render():
             # primary budgets shrink to the ray count (trivially exact). The
             # SECONDARY fan-out is NOT reduced — shading broadcasts to S*R
             # points before the MC estimator, so 3 strategies x S*R = 393k
-            # secondary rays trace, needing ~59k fallback-sampler slots on
-            # this scene: keep the 65536 budget (counter-verified zero).
+            # secondary rays trace. Every budget below is an EXACT
+            # compaction sized from measured demand on this scene with
+            # 5-50% margin (counter-verified zero in the timed runs):
+            #   sampler_budget   61440  (demand ~58.5k unconverged rays)
+            #   compact_after=3, compact_budget 155648 (live@3 ~144.6k —
+            #     96%/60%/37% of secondary rays stay live after iters
+            #     1/2/3: they START on the surface where SDF~0, so early
+            #     steps are tiny; compaction only pays from iter 3)
+            #   rootfind_budget  16384  (net_surface demand ~10.7k)
+            #   indirect_fraction 0.20  (per-strategy hit rate <=14.6%)
+            #   secondary_fraction 0.95 (7.0% of secondary rays are
+            #     below-horizon -> contribute exactly 0)
             tr = dc.replace(model.ray_tracer, sampler_budget=1024,
                             minsdf_budget=1024)
-            model = dc.replace(model, ray_tracer=tr)
+            sec = dc.replace(model.secondary_ray_tracer,
+                             sampler_budget=61440, rootfind_budget=16384,
+                             compact_after=3, compact_budget=155648)
+            model = dc.replace(model, ray_tracer=tr,
+                               secondary_ray_tracer=sec,
+                               indirect_fraction=0.20,
+                               secondary_fraction=0.95)
         else:
             # eval-mode exact shading sends more rays down the fallback
             # paths than the training step (every ray is shaded, so all
@@ -419,6 +435,21 @@ def bench_train_step(exact_secondary=False):
 
     S, R, W = 2048, 64, 512
     model = _exact_train_model(exact_secondary=exact_secondary)
+    if not exact_secondary:
+        # reduced arm PLUS the exact compactions (counted, zero-overflow-
+        # verified in-run; demands measured on this scene — see
+        # bench_aa_render's sizing comment): rootfind iterates only the
+        # net_surface rays (~10.7k of the 65536 sampler batch), the
+        # mid-trace compaction gathers the ~37% of secondary rays still
+        # live after iter 3, and indirect_fraction runs the vis/indirect
+        # MLP chain (fwd AND bwd) on hit rays only (per-strategy hit rate
+        # <=14.6%). The horizon cull stays off: training keeps the dense
+        # trace for the distillation buffers.
+        import dataclasses as dc
+        sec = dc.replace(model.secondary_ray_tracer, rootfind_budget=16384,
+                         compact_after=3, compact_budget=155648)
+        model = dc.replace(model, secondary_ray_tracer=sec,
+                           indirect_fraction=0.20)
     params = model.init_params(jax.random.PRNGKey(0))
     mesh = make_mesh(1)
 
