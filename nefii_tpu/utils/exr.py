@@ -6,10 +6,13 @@ binary download unavailable here, and neither cv2 nor imageio in this image
 has EXR support — so we implement the subset of the format the pipeline
 needs:
 
-  * read:  single-part scanline images, compression NONE / RLE / ZIPS /
-           ZIP / PIZ / PXR24 / B44 / B44A / DWAA / DWAB, channel types
-           HALF / FLOAT / UINT, arbitrary channel names (returned in
-           R,G,B[,A] order when present).
+  * read:  single-part scanline AND single-part tiled images (tiled: the
+           full-resolution level of ONE_LEVEL / MIPMAP_LEVELS /
+           RIPMAP_LEVELS files — what the scanline-level libOpenEXR API
+           exposes), compression NONE / RLE / ZIPS / ZIP / PIZ / PXR24 /
+           B44 / B44A / DWAA / DWAB, channel types HALF / FLOAT / UINT,
+           arbitrary channel names (returned in R,G,B[,A] order when
+           present).
   * write: RGB(A) scanline images, HALF or FLOAT, ZIP (16-line blocks),
            PIZ (32-line blocks) or NONE.
 
@@ -1148,8 +1151,10 @@ def _parse_header(data: bytes):
     if data[:4] != MAGIC:
         raise ValueError("not an EXR file")
     version = struct.unpack("<i", data[4:8])[0]
-    if version & 0x200:
-        raise NotImplementedError("tiled EXR not supported")
+    if version & 0x800:
+        raise NotImplementedError("deep EXR not supported")
+    if version & 0x1000:
+        raise NotImplementedError("multi-part EXR not supported")
     off = 8
     attrs: Dict[str, Tuple[str, bytes]] = {}
     while True:
@@ -1192,8 +1197,120 @@ def _parse_chlist_plinear(raw: bytes) -> Dict[str, bool]:
 # public API
 # ---------------------------------------------------------------------------
 
+def _decode_block(block, compression, chans, W, n_lines, plinear, label):
+    """Decode ONE compressed chunk (a scanline block or a tile) to raw
+    interleaved scanlines (per line, per channel — the layout both chunk
+    kinds share). OpenEXR writers store a chunk RAW whenever compression
+    doesn't shrink it, so a valid chunk is never larger than the raw size:
+    route `< expected` to the decoder, `== expected` through as raw, and
+    reject `> expected` as corruption instead of feeding the decoders an
+    oversized stream (opaque struct/zlib errors)."""
+    bytes_per_px = sum(np.dtype(_DTYPES[pt]).itemsize for _, pt in chans)
+    expected = n_lines * W * bytes_per_px
+    if len(block) > expected:
+        raise ValueError(
+            f"corrupt EXR: {label} is {len(block)} bytes, larger "
+            f"than its {expected}-byte raw size"
+        )
+    if compression == PIZ and len(block) < expected:
+        return _piz_decompress(block, chans, W, n_lines)
+    if compression == PXR24 and len(block) < expected:
+        return _pxr24_decompress(block, chans, W, n_lines)
+    if compression in (B44, B44A) and len(block) < expected:
+        return _b44_decompress(block, chans, W, n_lines, plinear)
+    if compression in (DWAA, DWAB) and len(block) < expected:
+        return _dwa_decompress(block, chans, W, n_lines)
+    return _decompress(block, compression, expected)
+
+
+def _scatter_lines(raw, chans, out, y, x0, n_lines, w):
+    """Place decoded raw scanlines (per line, per channel) into the output
+    channel planes at [y : y+n_lines, x0 : x0+w]."""
+    pos = 0
+    for line in range(n_lines):
+        for name, pt in chans:
+            dt = _DTYPES[pt]
+            row = np.frombuffer(raw, dt, count=w, offset=pos)
+            out[name][y + line, x0 : x0 + w] = row.astype(np.float32)
+            pos += w * np.dtype(dt).itemsize
+
+
+def _level_size(size: int, level: int, round_up: bool) -> int:
+    b = 1 << level
+    s = size // b + (1 if round_up and size % b else 0)
+    return max(s, 1)
+
+
+def _tile_chunk_counts(W, H, xs, ys, mode, round_up):
+    """Per-level (lx, ly) -> tile-grid shape, in the file's chunk order
+    (increasing level; RIPMAP varies lx fastest — ImfTiledMisc.cc)."""
+    if mode == 0:  # ONE_LEVEL
+        levels = [(0, 0)]
+    elif mode == 1:  # MIPMAP_LEVELS
+        n = max(W, H).bit_length() - 1
+        if round_up and max(W, H) & (max(W, H) - 1):
+            n += 1
+        levels = [(l, l) for l in range(n + 1)]
+    elif mode == 2:  # RIPMAP_LEVELS
+        nx, ny = W.bit_length() - 1, H.bit_length() - 1
+        if round_up:
+            nx += 1 if W & (W - 1) else 0
+            ny += 1 if H & (H - 1) else 0
+        levels = [(lx, ly) for ly in range(ny + 1) for lx in range(nx + 1)]
+    else:
+        raise NotImplementedError(f"EXR tile level mode {mode} not supported")
+    counts = []
+    for lx, ly in levels:
+        w, h = _level_size(W, lx, round_up), _level_size(H, ly, round_up)
+        counts.append(((lx, ly), (-(-w // xs), -(-h // ys))))
+    return counts
+
+
+def _read_tiled(data, attrs, off, chans, compression, W, H, plinear):
+    """Single-part tiled EXR: decode the full-resolution level (0, 0) —
+    what InputFile's scanline API exposes for tiled files and all the
+    pipeline consumes; lower mip/rip levels are skipped. Each tile is one
+    independently-compressed chunk of the SAME codecs as scanline blocks,
+    with scanline width = the (edge-clipped) tile width."""
+    xs, ys, md = struct.unpack("<IIB", attrs["tiles"][1][:9])
+    mode, round_up = md & 0x0F, (md >> 4) & 0x0F == 1
+    if xs <= 0 or ys <= 0:
+        raise ValueError(f"corrupt EXR: tile size {xs}x{ys}")
+    counts = _tile_chunk_counts(W, H, xs, ys, mode, round_up)
+    n_chunks = sum(cx * cy for _, (cx, cy) in counts)
+    offsets = struct.unpack(f"<{n_chunks}q", data[off : off + 8 * n_chunks])
+
+    out = {name: np.empty((H, W), np.float32) for name, _ in chans}
+    seen = np.zeros((-(-H // ys), -(-W // xs)), bool)
+    for boff in offsets:
+        if boff == 0:  # unwritten tile (incomplete file): leave a hole only
+            continue   # if it is a level-0 tile — checked via `seen` below
+        dx, dy, lx, ly, size = struct.unpack("<5i", data[boff : boff + 20])
+        if lx != 0 or ly != 0:
+            continue  # lower-resolution mip/rip level
+        x0, y0 = dx * xs, dy * ys
+        if not (0 <= x0 < W and 0 <= y0 < H):
+            raise ValueError(f"corrupt EXR: tile ({dx},{dy}) outside image")
+        tw, th = min(xs, W - x0), min(ys, H - y0)
+        block = data[boff + 20 : boff + 20 + size]
+        raw = _decode_block(block, compression, chans, tw, th, plinear,
+                            f"tile ({dx},{dy})")
+        _scatter_lines(raw, chans, out, y0, x0, th, tw)
+        seen[dy, dx] = True
+    if not seen.all():
+        raise ValueError(
+            f"incomplete tiled EXR: {int((~seen).sum())} of {seen.size} "
+            "full-resolution tiles missing"
+        )
+    return out
+
+
 def read(path: str) -> np.ndarray:
-    """Read an EXR into float32 [H, W, C]; RGB(A) channel order when named."""
+    """Read an EXR into float32 [H, W, C]; RGB(A) channel order when named.
+
+    Handles single-part scanline AND single-part tiled images (tiled: the
+    full-resolution level of ONE_LEVEL / MIPMAP_LEVELS / RIPMAP_LEVELS
+    files) at every compression in DECODE_COMPRESSIONS."""
     with open(path, "rb") as f:
         data = f.read()
     attrs, off = _parse_header(data)
@@ -1203,53 +1320,29 @@ def read(path: str) -> np.ndarray:
     x_min, y_min, x_max, y_max = struct.unpack("<4i", attrs["dataWindow"][1])
     W = x_max - x_min + 1
     H = y_max - y_min + 1
-    lines_per_block = _LINES_PER_BLOCK.get(compression)
-    if lines_per_block is None:
+    if compression not in DECODE_COMPRESSIONS:
         raise NotImplementedError(f"EXR compression {compression} not supported")
-    n_blocks = -(-H // lines_per_block)
-
-    # line-offset table
-    offsets = struct.unpack(f"<{n_blocks}q", data[off : off + 8 * n_blocks])
-
-    bytes_per_px = sum(np.dtype(_DTYPES[pt]).itemsize for _, pt in chans)
-    out = {name: np.empty((H, W), np.float32) for name, _ in chans}
     plinear = (_parse_chlist_plinear(attrs["channels"][1])
                if compression in (B44, B44A) else None)
 
-    for bi, boff in enumerate(offsets):
-        y, size = struct.unpack("<ii", data[boff : boff + 8])
-        y -= y_min
-        n_lines = min(lines_per_block, H - y)
-        block = data[boff + 8 : boff + 8 + size]
-        expected = n_lines * W * bytes_per_px
-        # OpenEXR writers store a block RAW whenever compression doesn't
-        # shrink it, so a valid block is never larger than the raw size:
-        # route `< expected` to the decoder, `== expected` through as raw,
-        # and reject `> expected` as corruption instead of feeding the
-        # decoders an oversized stream (opaque struct/zlib errors)
-        if len(block) > expected:
-            raise ValueError(
-                f"corrupt EXR: block {bi} is {len(block)} bytes, larger "
-                f"than its {expected}-byte raw scanline size"
-            )
-        if compression == PIZ and len(block) < expected:
-            raw = _piz_decompress(block, chans, W, n_lines)
-        elif compression == PXR24 and len(block) < expected:
-            raw = _pxr24_decompress(block, chans, W, n_lines)
-        elif compression in (B44, B44A) and len(block) < expected:
-            raw = _b44_decompress(block, chans, W, n_lines, plinear)
-        elif compression in (DWAA, DWAB) and len(block) < expected:
-            raw = _dwa_decompress(block, chans, W, n_lines)
-        else:
-            raw = _decompress(block, compression, expected)
-        pos = 0
-        for line in range(n_lines):
-            for name, pt in chans:
-                dt = _DTYPES[pt]
-                nbytes = W * np.dtype(dt).itemsize
-                row = np.frombuffer(raw, dt, count=W, offset=pos)
-                out[name][y + line] = row.astype(np.float32)
-                pos += nbytes
+    if "tiles" in attrs:
+        out = _read_tiled(data, attrs, off, chans, compression, W, H, plinear)
+    else:
+        lines_per_block = _LINES_PER_BLOCK[compression]
+        n_blocks = -(-H // lines_per_block)
+
+        # line-offset table
+        offsets = struct.unpack(f"<{n_blocks}q", data[off : off + 8 * n_blocks])
+
+        out = {name: np.empty((H, W), np.float32) for name, _ in chans}
+        for bi, boff in enumerate(offsets):
+            y, size = struct.unpack("<ii", data[boff : boff + 8])
+            y -= y_min
+            n_lines = min(lines_per_block, H - y)
+            block = data[boff + 8 : boff + 8 + size]
+            raw = _decode_block(block, compression, chans, W, n_lines,
+                                plinear, f"block {bi}")
+            _scatter_lines(raw, chans, out, y, 0, n_lines, W)
 
     names = [n for n, _ in chans]
     order = [n for n in ("R", "G", "B", "A") if n in names]

@@ -19,6 +19,8 @@
 #include <ImfHeader.h>
 #include <ImfInputFile.h>
 #include <ImfOutputFile.h>
+#include <ImfTileDescription.h>
+#include <ImfTiledOutputFile.h>
 #include <half.h>
 
 #include <cstdint>
@@ -144,5 +146,80 @@ int main(int argc, char** argv) {
                 std::printf("wrote %s (+.f32 ground truth, %dx%dx%d)\n",
                             exr_path.c_str(), H, W, C);
             }
+
+    // ----- tiled fixtures (f16 RGB): tile 24x20 against the 67x45 image ->
+    // 3x3 tile grid with 19-wide / 5-high edge tiles (exercises B44/DWA
+    // padding inside edge TILES, not just edge scanline blocks). ONE_LEVEL
+    // for a codec spread, plus one MIPMAP_LEVELS and one RIPMAP_LEVELS file
+    // (all levels written; ground truth = libOpenEXR's level-0 scanline
+    // read, which is all the numpy codec exposes for tiled files).
+    Spec tile_specs[] = {
+        {"none", NO_COMPRESSION}, {"zip", ZIP_COMPRESSION},
+        {"piz", PIZ_COMPRESSION}, {"b44", B44_COMPRESSION},
+        {"dwaa", DWAA_COMPRESSION},
+    };
+    LevelMode modes[] = {ONE_LEVEL, MIPMAP_LEVELS, RIPMAP_LEVELS};
+    const char* mode_tag[] = {"", "_mip", "_rip"};
+    const int TX = 24, TY = 20;
+    const char* chan[3] = {"R", "G", "B"};
+    for (int mi = 0; mi < 3; ++mi)
+        for (const Spec& s : tile_specs) {
+            if (mi > 0 && s.comp != ZIP_COMPRESSION) continue;  // keep small
+            std::string base = dir + "/tiled" + mode_tag[mi] + "_" + s.name +
+                               "_f16_rgb";
+            std::string exr_path = base + ".exr";
+
+            Header hdr(W, H);
+            hdr.compression() = s.comp;
+            hdr.setTileDescription(
+                TileDescription(TX, TY, modes[mi], ROUND_DOWN));
+            for (int c = 0; c < 3; ++c)
+                hdr.channels().insert(chan[c], Channel(HALF));
+            {
+                TiledOutputFile out(exr_path.c_str(), hdr);
+                for (int ly = 0; ly < out.numYLevels(); ++ly)
+                    for (int lx = 0; lx < out.numXLevels(); ++lx) {
+                        if (modes[mi] == MIPMAP_LEVELS && lx != ly) continue;
+                        int lw = out.levelWidth(lx), lh = out.levelHeight(ly);
+                        lcg_state = 777 + 13 * (lx + 7 * ly);
+                        std::vector<half> img((size_t)lh * lw * 3);
+                        for (int y = 0; y < lh; ++y)
+                            for (int x = 0; x < lw; ++x)
+                                for (int c = 0; c < 3; ++c)
+                                    img[((size_t)y * lw + x) * 3 + c] =
+                                        (half)pattern(y, x, c, lw, lh);
+                        FrameBuffer fb;
+                        for (int c = 0; c < 3; ++c)
+                            fb.insert(chan[c],
+                                      Slice(HALF, (char*)(img.data() + c),
+                                            sizeof(half) * 3,
+                                            sizeof(half) * 3 * lw));
+                        out.setFrameBuffer(fb);
+                        out.writeTiles(0, out.numXTiles(lx) - 1,
+                                       0, out.numYTiles(ly) - 1, lx, ly);
+                    }
+            }
+
+            // ground truth: the SCANLINE-API read of the tiled file
+            // (level 0), matching what exr.read must produce
+            std::vector<half> hback((size_t)H * W * 3);
+            {
+                InputFile in(exr_path.c_str());
+                FrameBuffer rfb;
+                for (int c = 0; c < 3; ++c)
+                    rfb.insert(chan[c],
+                               Slice(HALF, (char*)(hback.data() + c),
+                                     sizeof(half) * 3, sizeof(half) * 3 * W));
+                in.setFrameBuffer(rfb);
+                in.readPixels(0, H - 1);
+            }
+            std::vector<float> back(hback.size());
+            for (size_t i = 0; i < back.size(); ++i) back[i] = (float)hback[i];
+            FILE* f = std::fopen((base + ".f32").c_str(), "wb");
+            std::fwrite(back.data(), sizeof(float), back.size(), f);
+            std::fclose(f);
+            std::printf("wrote %s (+.f32 ground truth, tiled %dx%d mode %d)\n",
+                        exr_path.c_str(), TX, TY, (int)modes[mi]);
+        }
     return 0;
 }

@@ -66,6 +66,51 @@ def test_decode_matches_libopenexr(comp, dt, C):
         np.testing.assert_array_equal(img, gt)
 
 
+TILED_CASES = ["tiled_none", "tiled_zip", "tiled_piz", "tiled_b44",
+               "tiled_dwaa", "tiled_mip_zip", "tiled_rip_zip"]
+
+
+@pytest.mark.parametrize("name", TILED_CASES)
+def test_tiled_decode_matches_libopenexr(name):
+    """Single-part TILED files (24x20 tiles over 67x45 -> edge tiles in both
+    axes; mip/rip variants decode the full-res level): ground truth is
+    libOpenEXR's own scanline-API read of the same file. DWA gets the same
+    half-ulp tolerance as its scanline cases (CSC'd RGB sets are not
+    bit-defined across libOpenEXR's own SIMD builds)."""
+    base = os.path.join(FIX, f"{name}_f16_rgb")
+    img = exr.read(base + ".exr")
+    assert img.shape == (H, W, 3)
+    gt = _gt(base, 3)
+    if "dwa" in name:
+        mb = img.astype(np.float16).view(np.uint16).astype(np.int32)
+        gb = gt.astype(np.float16).view(np.uint16).astype(np.int32)
+        ulp = np.abs(mb - gb)
+        assert (ulp > 0).mean() <= 1e-3, f"{(ulp > 0).mean():%} samples differ"
+        # 4 (not 3) half-ulps: tiles DCT-pad each 24x20 tile independently,
+        # so the LUT exp segment can amplify the CSC half-ulp once more than
+        # in the full-width scanline blocks (measured: 0.044% differ, max 4)
+        assert ulp.max() <= 4, f"max half-ulp distance {ulp.max()}"
+    else:
+        np.testing.assert_array_equal(img, gt)
+
+
+def test_tiled_incomplete_raises(tmp_path):
+    """A tiled file whose offset table still has unwritten (zero) level-0
+    entries must fail loudly, not return uninitialised pixel memory."""
+    src = os.path.join(FIX, "tiled_zip_f16_rgb.exr")
+    data = bytearray(open(src, "rb").read())
+    # header ends where the offset table begins; zero the SECOND table entry
+    # (the first full-res tile offset survives so the header stays valid)
+    from nefii_tpu.utils.exr import _parse_header
+
+    _, off = _parse_header(bytes(data))
+    data[off + 8 : off + 16] = b"\0" * 8
+    p = tmp_path / "incomplete.exr"
+    p.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="incomplete tiled"):
+        exr.read(str(p))
+
+
 def test_piz_write_roundtrip(tmp_path):
     """PIZ write: encode with the numpy codec, decode with the (fixture-
     validated) numpy PIZ decoder; exact for HALF and FLOAT data."""
