@@ -59,12 +59,12 @@ def _setup_jax():
     import jax
 
     # persistent executable cache: repeat runs (and the driver's re-run)
-    # skip the multi-minute XLA compiles of the big MC-estimator programs
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/nefii_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # skip the multi-minute XLA compiles of the big MC-estimator programs.
+    # Keyed per machine — a foreign VM's entries stall deserialization for
+    # tens of seconds (VERDICT r4 weak #7), so they must never be visible.
+    from nefii_tpu.utils import compile_cache
+
+    compile_cache.setup(jax)
     return jax
 
 

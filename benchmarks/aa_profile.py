@@ -29,8 +29,9 @@ sys.path.insert(0, os.path.dirname(_HERE))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/nefii_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from nefii_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.setup(jax)
 import jax.numpy as jnp
 
 from bench import _exact_train_model, fit_representative_geometry  # noqa: E402

@@ -87,6 +87,9 @@ class RenderRunner:
         # rank-0-only writes in multi-host runs (reference render.py gathers
         # to rank 0 and writes there, scripts/render.py:330-360,407-442)
         self.is_main = dist.is_main()
+        # pin the collective context before the first (slow-to-compile)
+        # chunk render — see dist.warmup_collectives
+        dist.warmup_collectives(self.mesh)
         self.out_dir = kwargs.get("out_dir") or os.path.join(expdir, timestamp, "renders")
         if self.is_main:
             os.makedirs(self.out_dir, exist_ok=True)

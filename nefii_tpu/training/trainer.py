@@ -175,6 +175,10 @@ class IDRTrainRunner:
 
         self.mesh = make_mesh()
         self.world_size = self.mesh.devices.size
+        # establish the Gloo/ICI collective context NOW, while all processes
+        # are in lockstep — the first collective after a multi-minute step
+        # compile can miss Gloo's 30 s rendezvous deadline (dist.py docs)
+        dist.warmup_collectives(self.mesh)
 
         key = jax.random.PRNGKey(self.seed)
         self.params = self.model.init_params(key)

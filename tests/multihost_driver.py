@@ -188,9 +188,11 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     # persistent executable cache: the 3 test processes (and repeat runs)
-    # compile the same tiny program — share it instead of recompiling
-    jax.config.update("jax_compilation_cache_dir", "/tmp/nefii_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # compile the same tiny program — share it instead of recompiling.
+    # Per-machine dir: foreign entries stall Gloo init (VERDICT r4 #7)
+    from nefii_tpu.utils import compile_cache
+
+    compile_cache.setup(jax, min_compile_secs=1.0)
 
     from nefii_tpu.parallel import dist
 

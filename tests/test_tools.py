@@ -349,3 +349,58 @@ def test_surface_high_res_mesh():
     assert err.max() <= cell, (err.max(), cell)
     # and the bulk of vertices are much tighter than the cell
     assert np.median(err) < cell / 4
+
+
+# ---------------------------------------------------------------------------
+# per-machine persistent compile cache (utils/compile_cache.py)
+# ---------------------------------------------------------------------------
+
+def test_compile_cache_dir_is_host_keyed(tmp_path, monkeypatch):
+    """Cache dirs embed a host-feature hash: a foreign machine's XLA:CPU
+    entries (whose deserialization stall blew the Gloo 30 s collective-init
+    deadline in the 2-process cluster test) land in a DIFFERENT directory
+    and can never be loaded here."""
+    from nefii_tpu.utils import compile_cache
+
+    base = str(tmp_path / "cache")
+    d = compile_cache.cache_dir(base)
+    assert d.startswith(base + "-")
+    assert len(d[len(base) + 1:]) == 12
+    # deterministic on the same host
+    assert d == compile_cache.cache_dir(base)
+
+    # a host with different CPU features gets a different directory
+    monkeypatch.setattr(compile_cache.platform, "machine", lambda: "other-isa")
+    monkeypatch.setattr(
+        compile_cache, "open",
+        lambda *a, **k: (_ for _ in ()).throw(OSError()), raising=False)
+    assert compile_cache.cache_dir(base) != d
+
+
+def test_compile_cache_setup_points_jax_at_host_dir(tmp_path):
+    from nefii_tpu.utils import compile_cache
+
+    class FakeConfig:
+        def __init__(self):
+            self.updates = {}
+
+        def update(self, k, v):
+            self.updates[k] = v
+
+    class FakeJax:
+        config = FakeConfig()
+
+    base = str(tmp_path / "cache")
+    d = compile_cache.setup(FakeJax, min_compile_secs=1.5, base=base)
+    assert d == compile_cache.cache_dir(base)
+    assert FakeJax.config.updates["jax_compilation_cache_dir"] == d
+    assert FakeJax.config.updates[
+        "jax_persistent_cache_min_compile_time_secs"] == 1.5
+
+    class BrokenJax:
+        class config:
+            @staticmethod
+            def update(k, v):
+                raise RuntimeError("no such flag")
+
+    assert compile_cache.setup(BrokenJax, base=base) == ""
