@@ -93,6 +93,20 @@ OVERFLOW_KEYS = (
     "cull_overflow", "rootfind_overflow",
 )
 
+# Demand counters emitted by forward_with_uv when measure_demand=True: the
+# pre-budget ray count each compaction path would need. demand <= budget is
+# exactly "the matching overflow counter is 0", so one dense probe render
+# yields exact per-scene budget sizes (models/budgets.py sizes every knob
+# from these; scripts/render.py --auto_budget and bench.py use it). Keys are
+# absent from the output dict when measure_demand=False, keeping production
+# programs (and their compile-cache entries) byte-identical.
+DEMAND_KEYS = (
+    "sampler_demand", "minsdf_demand", "shade_demand", "trace_demand",
+    "rootfind_demand", "indirect_demand", "cull_demand",
+    "secondary_sampler_demand", "secondary_minsdf_demand",
+    "secondary_rootfind_demand", "secondary_trace_demand",
+)
+
 
 @dataclass(frozen=True)
 class IDRNetwork:
@@ -150,6 +164,11 @@ class IDRNetwork:
     #    only feed soft visibility + indirect radiance, so reduced fallback
     #    budgets are a quality/perf knob. None = reference semantics.
     secondary_ray_tracer: Optional[RayTracer] = None
+    #  - measure_demand: emit the DEMAND_KEYS counters (probe mode for
+    #    budget auto-sizing — see models/budgets.py). The tracers' own
+    #    measure_demand flags must be set consistently; budgets.probe_model
+    #    builds the whole configuration in one call.
+    measure_demand: bool = False
 
     # ------------------------------------------------------------------
     @classmethod
@@ -312,11 +331,17 @@ class IDRNetwork:
                 training=training,
                 sphere_trace_fn=sec_trace_fn,
             )
-            return (
+            out = (
                 res.points, res.object_mask, res.dists, res.n_evals,
                 res.sampler_overflow + res.minsdf_overflow
                 + res.trace_overflow + res.rootfind_overflow,
             )
+            if sec_tracer.measure_demand:
+                # granular demands for budget auto-sizing (pt_render_core
+                # consumes res[5:9] in measure mode)
+                out = out + (res.sampler_demand, res.minsdf_demand,
+                             res.rootfind_demand, res.trace_demand)
+            return out
 
         return ptr.SceneFns(
             trace=trace,
@@ -463,6 +488,8 @@ class IDRNetwork:
             budget = min(max(int(N * self.shade_fraction + 0.5), 128), N)
         compact = budget < N
         shade_overflow = jnp.int32(0)
+        shade_demand = (surface_mask.sum().astype(jnp.int32)
+                        if self.measure_demand else 0)
         if compact:
             order = jnp.argsort(~surface_mask, stable=True)
             sel = order[:budget]
@@ -578,6 +605,23 @@ class IDRNetwork:
             "cull_overflow": ret.get("n_cull_overflow", jnp.int32(0)),
             "rootfind_overflow": trace_res.rootfind_overflow,
         }
+
+        if self.measure_demand:
+            # pre-budget demand counters for auto-sizing (see DEMAND_KEYS)
+            z = jnp.int32(0)
+            output.update({
+                "sampler_demand": jnp.asarray(trace_res.sampler_demand, jnp.int32),
+                "minsdf_demand": jnp.asarray(trace_res.minsdf_demand, jnp.int32),
+                "shade_demand": jnp.asarray(shade_demand, jnp.int32),
+                "trace_demand": jnp.asarray(trace_res.trace_demand, jnp.int32),
+                "rootfind_demand": jnp.asarray(trace_res.rootfind_demand, jnp.int32),
+                "indirect_demand": ret.get("n_indirect_demand", z),
+                "cull_demand": ret.get("n_cull_demand", z),
+                "secondary_sampler_demand": ret.get("n_sec_sampler_demand", z),
+                "secondary_minsdf_demand": ret.get("n_sec_minsdf_demand", z),
+                "secondary_rootfind_demand": ret.get("n_sec_rootfind_demand", z),
+                "secondary_trace_demand": ret.get("n_sec_trace_demand", z),
+            })
 
         if multi_ray and not self.fast_multi_ray:
             BS = (B * S)
@@ -729,6 +773,7 @@ class IDRNetwork:
                 wi_override=wi_override,
                 indirect_fraction=self.indirect_fraction,
                 secondary_fraction=self.secondary_fraction,
+                measure_demand=self.measure_demand,
                 **opts,
             )
 

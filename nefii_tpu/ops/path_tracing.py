@@ -190,6 +190,7 @@ def pt_render_core(
     wi_override: Optional[Tuple[jnp.ndarray, ...]] = None,
     indirect_fraction: float = 1.0,
     secondary_fraction: float = 1.0,
+    measure_demand: bool = False,  # emit n_*_demand counters (probe mode)
 ) -> Dict[str, jnp.ndarray]:
     N = normal.shape[0]
     S = len(strategies)
@@ -320,9 +321,17 @@ def pt_render_core(
 
         trace_keys = jax.random.split(keys[S], S)
         n_cull_overflow = jnp.int32(0)
+        demands = {}
         if speed_first:
             all_pts = jnp.tile(pts_flat, (S, 1))
             all_dirs = jnp.concatenate(wi_list, axis=0)
+            if measure_demand:
+                # above-horizon count: the exact demand of the horizon cull
+                # (clip(wi.n,0) zeroes every below-horizon contribution)
+                all_n_m = jnp.tile(stop_grad(normal), (S, 1))
+                demands["n_cull_demand"] = (
+                    (jnp.sum(all_dirs * all_n_m, -1) > 0.0)
+                    .sum().astype(jnp.int32))
             if horizon_budget is not None:
                 # gather above-horizon rays first, trace only the budget,
                 # scatter back with miss defaults (hm=False, lp=origin) for
@@ -336,6 +345,11 @@ def pt_render_core(
                 lp_c, hm_c, ds_c = res[0], res[1], res[2]
                 n_trace_evals = res[3] if len(res) > 3 else jnp.int32(0)
                 n_trace_overflow = res[4] if len(res) > 4 else jnp.int32(0)
+                if measure_demand and len(res) > 5:
+                    demands.update(zip(
+                        ("n_sec_sampler_demand", "n_sec_minsdf_demand",
+                         "n_sec_rootfind_demand", "n_sec_trace_demand"),
+                        res[5:9]))
                 lp = all_pts.at[sel].set(stop_grad(lp_c))
                 hm = jnp.zeros((S * N,), bool).at[sel].set(hm_c)
                 ds = jnp.zeros((S * N,), ds_c.dtype).at[sel].set(
@@ -348,6 +362,13 @@ def pt_render_core(
                 lp, hm, ds = res[0], res[1], res[2]
                 n_trace_evals = res[3] if len(res) > 3 else jnp.int32(0)
                 n_trace_overflow = res[4] if len(res) > 4 else jnp.int32(0)
+                if measure_demand and len(res) > 5:
+                    # granular demands of the ONE batched secondary trace
+                    # (scene_fns.trace appends them in measure mode)
+                    demands.update(zip(
+                        ("n_sec_sampler_demand", "n_sec_minsdf_demand",
+                         "n_sec_rootfind_demand", "n_sec_trace_demand"),
+                        res[5:9]))
                 lp, ds = stop_grad(lp), stop_grad(ds)
             for i in range(S):
                 hit_list.append(
@@ -493,6 +514,13 @@ def pt_render_core(
             ret["n_indirect_overflow"] = ovf
         else:
             ret["n_indirect_overflow"] = jnp.int32(0)
+        if measure_demand:
+            # per-strategy hit-count max: the vis/indirect compaction budget
+            # is per strategy, so its exact demand is the worst strategy's
+            hits = jnp.stack(
+                [hm_i.sum().astype(jnp.int32) for _, hm_i, _ in hit_list])
+            ret["n_indirect_demand"] = hits.max()
+            ret.update(demands)
     return ret
 
 

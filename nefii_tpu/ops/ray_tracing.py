@@ -68,6 +68,16 @@ class TraceResult(NamedTuple):
     # they stop iterating at compact_after and fall through to the sampler
     # (still counted — results are exact iff 0)
     trace_overflow: Any = 0
+    # Demand counters (only populated when RayTracer.measure_demand): the
+    # number of rays each budgeted path WOULD need, measured pre-budget.
+    # demand <= budget  <=>  the corresponding overflow is 0, so one dense
+    # probe with measure_demand=True yields exact budget sizes for a scene
+    # (scripts/render.py --auto_budget, models/budgets.py). Python-int 0
+    # when off, so default compiled programs are unchanged.
+    sampler_demand: Any = 0    # rays needing the 100-step fallback sampler
+    minsdf_demand: Any = 0     # rays needing the min-SDF miss handler
+    rootfind_demand: Any = 0   # bracketed (net_surface) rays for the rootfind
+    trace_demand: Any = 0      # rays still live at iteration compact_after
 
 
 @dataclass(frozen=True)
@@ -100,6 +110,12 @@ class RayTracer:
     # state, flow to the fallback sampler, and are COUNTED (trace_overflow).
     compact_after: Optional[int] = None
     compact_budget: Optional[int] = None
+    # Populate TraceResult's *_demand counters (a handful of extra masked
+    # sums; default off so production programs — and their compile-cache
+    # entries — are byte-identical). trace_demand additionally needs
+    # compact_after set: the dense trace is split at that iteration (a
+    # semantics-preserving phase split) to count the live rays there.
+    measure_demand: bool = False
 
     # ------------------------------------------------------------------
     def __call__(
@@ -135,9 +151,10 @@ class RayTracer:
             (acc_start, acc_end, unfinished_start, min_dis, max_dis,
              n_evals) = sphere_trace_fn(cam, dirs, mask_intersect, near, far)
             trace_overflow = jnp.int32(0)
+            trace_demand = 0
         else:
             (acc_start, acc_end, unfinished_start, min_dis, max_dis, n_evals,
-             trace_overflow) = self._sphere_trace(
+             trace_overflow, trace_demand) = self._sphere_trace(
                 sdf_fn, cam, dirs, mask_intersect, near, far
             )
 
@@ -147,7 +164,8 @@ class RayTracer:
 
         # fallback sampler for rays the tracer did not converge on
         (sampler_pts, sampler_obj, sampler_dists, sampler_evals,
-         sampler_overflow, rootfind_overflow) = self._ray_sampler(
+         sampler_overflow, rootfind_overflow, sampler_demand,
+         rootfind_demand) = self._ray_sampler(
             sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
         )
         n_evals = n_evals + sampler_evals
@@ -161,6 +179,9 @@ class RayTracer:
                 points, network_object_mask, dists, n_evals, sampler_overflow,
                 trace_overflow=trace_overflow,
                 rootfind_overflow=rootfind_overflow,
+                sampler_demand=sampler_demand,
+                rootfind_demand=rootfind_demand,
+                trace_demand=trace_demand,
             )
 
         # ---- training extras: min-SDF points for the mask loss -------------
@@ -178,7 +199,8 @@ class RayTracer:
         min_dis = jnp.where(network_object_mask & out_mask, acc_start, min_dis)
         if key is None:
             key = jax.random.PRNGKey(0)
-        min_pts_dist, minsdf_evals, minsdf_overflow = self._minimal_sdf_points(
+        (min_pts_dist, minsdf_evals, minsdf_overflow,
+         minsdf_demand) = self._minimal_sdf_points(
             sdf_fn, cam, dirs, min_dis, max_dis, mask, key
         )
         n_evals = n_evals + minsdf_evals
@@ -189,6 +211,8 @@ class RayTracer:
             points, network_object_mask, dists, n_evals,
             sampler_overflow, minsdf_overflow, rootfind_overflow,
             trace_overflow,
+            sampler_demand=sampler_demand, minsdf_demand=minsdf_demand,
+            rootfind_demand=rootfind_demand, trace_demand=trace_demand,
         )
 
     # ------------------------------------------------------------------
@@ -282,7 +306,17 @@ class RayTracer:
             and self.compact_budget < N
             and self.compact_after < T
         )
-        k1 = self.compact_after if compact else T
+        # measure mode: split the DENSE trace at compact_after purely to
+        # count the live rays there (the phase split is a semantic identity:
+        # the second _trace_phase resumes from the carried state), so a
+        # probe can size compact_budget without compaction being active
+        measure = (
+            self.measure_demand
+            and not compact
+            and self.compact_after is not None
+            and self.compact_after < T
+        )
+        k1 = self.compact_after if (compact or measure) else T
 
         # initial SDF eval + head
         thresh = self.sdf_threshold
@@ -306,13 +340,21 @@ class RayTracer:
         state = self._trace_phase(sdf_fn, cam, dirs, state, k1)
         it, curr_s, curr_e, unf_s, unf_e, acc_s, acc_e, n_evals = state
 
+        if measure:
+            demand = (unf_s | unf_e).sum().astype(jnp.int32)
+            state = self._trace_phase(sdf_fn, cam, dirs, state, T)
+            _, _, _, unf_s, unf_e, acc_s, acc_e, n_evals = state
+            return (acc_s, acc_e, unf_s, min_dis, max_dis, n_evals,
+                    jnp.int32(0), demand)
         if not compact:
-            return acc_s, acc_e, unf_s, min_dis, max_dis, n_evals, jnp.int32(0)
+            return (acc_s, acc_e, unf_s, min_dis, max_dis, n_evals,
+                    jnp.int32(0), 0)
 
         # ---- compacted phase: gather still-live rays, iterate, scatter ----
         M = self.compact_budget
         live = unf_s | unf_e
-        overflow = jnp.maximum(live.sum().astype(jnp.int32) - M, 0)
+        live_count = live.sum().astype(jnp.int32)
+        overflow = jnp.maximum(live_count - M, 0)
         order = jnp.argsort(~live, stable=True)
         sel = order[:M]
 
@@ -330,7 +372,8 @@ class RayTracer:
         acc_e = acc_e.at[sel].set(sub_acc_e)
         unf_s = unf_s.at[sel].set(sub_unf_s)
         unf_e = unf_e.at[sel].set(sub_unf_e)
-        return acc_s, acc_e, unf_s, min_dis, max_dis, n_evals, overflow
+        return (acc_s, acc_e, unf_s, min_dis, max_dis, n_evals, overflow,
+                live_count if self.measure_demand else 0)
 
     # ------------------------------------------------------------------
     def _ray_sampler(
@@ -344,11 +387,13 @@ class RayTracer:
         """
         N = cam.shape[0]
         budget = self.sampler_budget
+        demand = (sampler_mask.sum().astype(jnp.int32)
+                  if self.measure_demand else 0)
         if budget is None or budget >= N:
             res = self._ray_sampler_dense(
                 sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
             )
-            return res[:4] + (jnp.int32(0), res[4])
+            return res[:4] + (jnp.int32(0), res[4], demand, res[5])
 
         # compact: stable argsort with unfinished rays first
         order = jnp.argsort(~sampler_mask, stable=True)
@@ -356,7 +401,7 @@ class RayTracer:
         overflow = jnp.maximum(
             sampler_mask.sum().astype(jnp.int32) - budget, 0
         )
-        pts, obj, dist, n_ev, rf_overflow = self._ray_sampler_dense(
+        pts, obj, dist, n_ev, rf_overflow, rf_demand = self._ray_sampler_dense(
             sdf_fn,
             cam[sel],
             dirs[sel],
@@ -373,7 +418,8 @@ class RayTracer:
         full_pts = full_pts.at[sel].set(pts)
         full_obj = full_obj.at[sel].set(obj)
         full_dist = full_dist.at[sel].set(dist)
-        return full_pts, full_obj, full_dist, n_ev, overflow, rf_overflow
+        return (full_pts, full_obj, full_dist, n_ev, overflow, rf_overflow,
+                demand, rf_demand)
 
     def _ray_sampler_dense(
         self, sdf_fn, cam, dirs, object_mask, acc_start, acc_end, sampler_mask, training
@@ -416,6 +462,8 @@ class RayTracer:
         rf = self._secant if self.rootfind_method == "secant" else self._bisection
         rf_budget = self.rootfind_budget
         rootfind_overflow = jnp.int32(0)
+        rootfind_demand = (net_surface.sum().astype(jnp.int32)
+                           if self.measure_demand else 0)
         if rf_budget is not None and rf_budget < N:
             # Compact the rootfind to the net_surface rays. Only their z is
             # ever consumed (rootfind_pts is a subset of net_surface), and
@@ -449,7 +497,8 @@ class RayTracer:
 
         sampler_pts = cam + sampler_dists[:, None] * dirs
         n_ev = jnp.int32(N * n) + bisect_evals
-        return sampler_pts, sampler_net_obj_mask, sampler_dists, n_ev, rootfind_overflow
+        return (sampler_pts, sampler_net_obj_mask, sampler_dists, n_ev,
+                rootfind_overflow, rootfind_demand)
 
     def _bisection(self, sdf_fn, sdf_low, sdf_high, z_low, z_high, cam, dirs):
         """Masked bisection (reference `rootfind`, ray_tracing.py:259-280)."""
@@ -527,12 +576,14 @@ class RayTracer:
             mi = jnp.argmin(sd, axis=-1)
             return jnp.take_along_axis(steps, mi[:, None], axis=1)[:, 0]
 
+        demand = mask.sum().astype(jnp.int32) if self.measure_demand else 0
         if budget is None or budget >= N:
-            return dense(cam, dirs, min_dis, max_dis), jnp.int32(N * n), jnp.int32(0)
+            return (dense(cam, dirs, min_dis, max_dis), jnp.int32(N * n),
+                    jnp.int32(0), demand)
 
         order = jnp.argsort(~mask, stable=True)
         sel = order[:budget]
         overflow = jnp.maximum(mask.sum().astype(jnp.int32) - budget, 0)
         d = dense(cam[sel], dirs[sel], min_dis[sel], max_dis[sel])
         out = min_dis  # fallback for overflow rays
-        return out.at[sel].set(d), jnp.int32(budget * n), overflow
+        return out.at[sel].set(d), jnp.int32(budget * n), overflow, demand

@@ -177,9 +177,16 @@ def make_eval_forward(
     are reassembled along the ray axis (replacing render.py's pickled
     dist.gather_object, reference idr_train.py:443-447). Budget-overflow
     counters ride along as global (psum'd) scalars so render/vis callers can
-    warn when a compaction budget degraded rays."""
+    warn when a compaction budget degraded rays. When `model.measure_demand`
+    is set (a budget-sizing probe, models/budgets.py), the DEMAND_KEYS
+    counters ride along the same way — psum'd global demand, which the
+    sizing divides back per shard."""
 
     overflow_keys = OVERFLOW_KEYS
+    if getattr(model, "measure_demand", False):
+        from nefii_tpu.models.idr import DEMAND_KEYS
+
+        overflow_keys = OVERFLOW_KEYS + DEMAND_KEYS
 
     def local_fn(params, batch, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))

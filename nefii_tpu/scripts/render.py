@@ -31,6 +31,15 @@ def add_argument(parser):
     parser = base_args(parser)
     parser.add_argument("--num_rays", type=int, default=64,
                         help="anti-aliasing rays per pixel")
+    parser.add_argument("--no_auto_budget", action="store_true",
+                        help="disable compaction-budget auto-sizing: render "
+                             "every chunk with the conf's budgets (dense by "
+                             "default). With auto-sizing (the default), one "
+                             "pixel-strided probe chunk measures per-path "
+                             "demand and every budget is sized from it with "
+                             "margin; any chunk whose overflow counters fire "
+                             "is re-rendered with escalated budgets, so the "
+                             "output EXRs are exact either way")
     parser.add_argument("--out_dir", type=str, default="")
     parser.add_argument("--max_views", type=int, default=-1)
     parser.add_argument("--envmap_size", type=int, nargs=2, default=[256, 512])
@@ -96,6 +105,11 @@ class RenderRunner:
         self.envmap_size = tuple(kwargs.get("envmap_size", (256, 512)))
         self.max_views = kwargs.get("max_views", -1)
         self.export_mesh_resolution = kwargs.get("export_mesh_resolution", 0)
+        self.auto_budget = not kwargs.get("no_auto_budget", False)
+        # the model actually rendered with: auto-sized once on the first
+        # view, then escalated in place whenever a chunk's overflow
+        # counters fire (budgets learned once stay for the whole run)
+        self.render_model = self.model
 
     # ------------------------------------------------------------------
     def render_view(self, img_idx: int):
@@ -126,31 +140,65 @@ class RenderRunner:
             model_input = dict(model_input)
             model_input["pose"] = ds.pose_all[img_idx][None]
 
-        eval_build = spmd.make_eval_forward(self.model, self.mesh)
-        cache = {}
-
+        from nefii_tpu.models import budgets
         from nefii_tpu.parallel import dist
 
-        overflow = {}
+        rays = rays_per_px if self.num_rays > 1 else 1
+        dims = budgets.BudgetDims.for_chunk(
+            n_pix // self.world_size, rays, self.model.fast_multi_ray
+        )
 
-        def forward(chunk):
+        def make_batch(chunk):
             batch = {
                 "uv": np.asarray(chunk["uv"], np.float32),
                 "object_mask": np.asarray(chunk["object_mask"]),
                 "intrinsics": np.asarray(chunk["intrinsics"], np.float32),
                 "pose": np.asarray(chunk["pose"], np.float32),
             }
-            batch = dist.make_global_batch(self.mesh, batch, spmd.batch_pspec(batch))
-            if "fn" not in cache:
-                cache["fn"] = jax.jit(eval_build(batch))
-            out = cache["fn"](self.params, batch, jax.random.PRNGKey(img_idx))
-            res = {}
-            for k, v in out.items():
-                if k.endswith("_overflow"):
-                    overflow[k] = overflow.get(k, 0) + int(dist.to_host(v))
-                else:
-                    res[k] = dist.to_host(v)
-            return res
+            return dist.make_global_batch(self.mesh, batch, spmd.batch_pspec(batch))
+
+        if self.auto_budget and not getattr(self, "_budgets_sized", False):
+            self._auto_size_budgets(model_input, total, n_pix, dims, img_idx,
+                                    make_batch)
+
+        cache = {}
+        overflow = {}
+
+        def forward(chunk):
+            batch = make_batch(chunk)
+            while True:
+                if "fn" not in cache:
+                    cache["fn"] = jax.jit(
+                        spmd.make_eval_forward(self.render_model, self.mesh)(batch)
+                    )
+                out = cache["fn"](self.params, batch, jax.random.PRNGKey(img_idx))
+                ovf = {k: int(dist.to_host(v)) for k, v in out.items()
+                       if k.endswith("_overflow")}
+                if not any(ovf.values()):
+                    return {k: dist.to_host(v) for k, v in out.items()
+                            if not k.endswith("_overflow")}
+                # A compaction budget fell short on THIS chunk: escalate the
+                # overflowed budgets and re-render the chunk before anything
+                # is written — the reference renders dense (scripts/
+                # render.py:283-356), so exactness is unconditional here
+                # too. Escalation saturates at dense in log2 steps, so the
+                # loop terminates; budgets stay raised for later chunks.
+                self.render_model, changed = budgets.escalate(
+                    self.render_model, ovf, dims.n_primary, dims.n_secondary
+                )
+                if not changed:
+                    # every knob already dense — overflow impossible; keep
+                    # the warning path just in case
+                    for k, v in ovf.items():
+                        overflow[k] = overflow.get(k, 0) + v
+                    return {k: dist.to_host(v) for k, v in out.items()
+                            if not k.endswith("_overflow")}
+                cache.clear()
+                if self.is_main:
+                    detail = ", ".join(changed)
+                    print(f"[auto-budget] view {img_idx}: overflow "
+                          f"({ {k: v for k, v in ovf.items() if v} }) — "
+                          f"re-rendering chunk with {detail}")
 
         with self.mesh:
             out = utils.chunked_forward(forward, model_input, total, n_pix)
@@ -160,6 +208,56 @@ class RenderRunner:
                   f"({detail}) — raise ray_tracer budgets for exact output")
         out["gt"] = np.asarray(ground_truth["rgb"][0])
         return out
+
+    def _auto_size_budgets(self, model_input, total, n_pix, dims, img_idx,
+                           make_batch):
+        """Measure per-path demand on one pixel-strided probe chunk (dense,
+        measure_demand=True — models/budgets.probe_model) and size every
+        compaction budget from it with margin. Strided pixels make the probe
+        representative of the whole view rather than its first rows; the
+        escalate-and-retry loop in render_view guarantees exactness for
+        chunks whose demand still exceeds the sized budgets."""
+        import jax
+
+        from nefii_tpu.models import budgets
+        from nefii_tpu.models.idr import DEMAND_KEYS
+        from nefii_tpu.parallel import dist, spmd
+
+        idxs = np.unique(
+            np.linspace(0, total - 1, n_pix).round().astype(np.int64))
+        if len(idxs) < n_pix:  # total < n_pix: keep shapes static
+            idxs = np.pad(idxs, (0, n_pix - len(idxs)), mode="edge")
+        chunk = {
+            k: (np.asarray(v[:, idxs]) if k in ("uv", "object_mask")
+                else np.asarray(v))
+            for k, v in model_input.items()
+        }
+        probe = budgets.probe_model(self.model)
+        batch = make_batch(chunk)
+        with self.mesh:
+            fn = jax.jit(spmd.make_eval_forward(probe, self.mesh)(batch))
+            out = fn(self.params, batch, jax.random.PRNGKey(img_idx))
+            demand = {k: int(dist.to_host(out[k])) for k in DEMAND_KEYS}
+        # psum'd global demand -> per-shard (budgets apply to each device's
+        # shard; the margin absorbs shard imbalance)
+        local = {k: -(-v // self.world_size) for k, v in demand.items()}
+        self.render_model = budgets.size_from_demand(self.model, local, dims)
+        self._budgets_sized = True
+        if self.is_main:
+            tr, sec = self.render_model.ray_tracer, \
+                self.render_model.secondary_ray_tracer
+            print(
+                "[auto-budget] sized from probe demand "
+                f"{ {k: v for k, v in demand.items() if v} }: "
+                f"sampler={tr.sampler_budget} rootfind={tr.rootfind_budget} "
+                f"compact={tr.compact_budget} "
+                f"sec_sampler={sec.sampler_budget if sec else None} "
+                f"sec_compact={sec.compact_budget if sec else None} "
+                f"sec_rootfind={sec.rootfind_budget if sec else None} "
+                f"shade={self.render_model.shade_fraction:g} "
+                f"indirect={self.render_model.indirect_fraction:g} "
+                f"cull={self.render_model.secondary_fraction:g}"
+            )
 
     # ------------------------------------------------------------------
     def write_view(self, img_idx: int, out):

@@ -707,8 +707,10 @@ class IDRTrainRunner:
 
     def _escalate_budgets(self, counts):
         """Double each overflowed budget (capped at the ray count, where any
-        budget is trivially exact), invalidate the step cache, retrace."""
-        import dataclasses as dc
+        budget is trivially exact), invalidate the step cache, retrace.
+        The doubling itself lives in models/budgets.escalate, shared with
+        the production renderer's re-render-on-overflow loop."""
+        from nefii_tpu.models import budgets
 
         R = max(self.num_rays, 1)
         # view-diff pairing concatenates a full paired view along the batch
@@ -719,92 +721,9 @@ class IDRTrainRunner:
         pair_mult = 2 if self.loss.view_diff_weight > 0 else 1
         n_local = -(-self.batch_size * self.num_pixels * R * pair_mult
                     // self.world_size)
-        tracer = self.model.ray_tracer
-        sec = self.model.secondary_ray_tracer
-        changed = []
-        if counts.get("sampler_overflow") and tracer.sampler_budget:
-            nb = min(2 * tracer.sampler_budget, n_local)
-            if nb > tracer.sampler_budget:
-                tracer = dc.replace(tracer, sampler_budget=nb)
-                changed.append(f"sampler_budget->{nb}")
-        if counts.get("minsdf_overflow") and tracer.minsdf_budget:
-            nb = min(2 * tracer.minsdf_budget, n_local)
-            if nb > tracer.minsdf_budget:
-                tracer = dc.replace(tracer, minsdf_budget=nb)
-                changed.append(f"minsdf_budget->{nb}")
-        if counts.get("shade_overflow") and self.model.shade_fraction < 1.0:
-            nf = min(2.0 * self.model.shade_fraction, 1.0)
-            self.model = dc.replace(self.model, shade_fraction=nf)
-            changed.append(f"shade_fraction->{nf:g}")
-        if counts.get("secondary_overflow"):
-            # the secondary counter pools sampler/min-SDF/trace-compaction
-            # overflow, so double every budgeted secondary knob (bounded by
-            # log2 recompiles each, like the rest). With no secondary
-            # override the secondary fan-out traces through the PRIMARY
-            # tracer, so its budgets are the ones to raise.
-            if sec is not None:
-                if sec.sampler_budget:
-                    nb = min(2 * sec.sampler_budget, 3 * n_local)
-                    if nb > sec.sampler_budget:
-                        sec = dc.replace(sec, sampler_budget=nb)
-                        changed.append(f"secondary sampler_budget->{nb}")
-                if sec.compact_budget:
-                    nb = min(2 * sec.compact_budget, 3 * n_local)
-                    if nb > sec.compact_budget:
-                        sec = dc.replace(sec, compact_budget=nb)
-                        changed.append(f"secondary compact_budget->{nb}")
-                if sec.minsdf_budget:
-                    # diff_geo renders run the secondary trace in training
-                    # mode, whose min-SDF fallback is budgeted too
-                    nb = min(2 * sec.minsdf_budget, 3 * n_local)
-                    if nb > sec.minsdf_budget:
-                        sec = dc.replace(sec, minsdf_budget=nb)
-                        changed.append(f"secondary minsdf_budget->{nb}")
-                if sec.rootfind_budget:
-                    nb = min(2 * sec.rootfind_budget, 3 * n_local)
-                    if nb > sec.rootfind_budget:
-                        sec = dc.replace(sec, rootfind_budget=nb)
-                        changed.append(f"secondary rootfind_budget->{nb}")
-            else:
-                if tracer.sampler_budget:
-                    nb = min(2 * tracer.sampler_budget, 3 * n_local)
-                    if nb > tracer.sampler_budget:
-                        tracer = dc.replace(tracer, sampler_budget=nb)
-                        changed.append(f"sampler_budget->{nb} (shared secondary)")
-                if tracer.compact_budget:
-                    nb = min(2 * tracer.compact_budget, 3 * n_local)
-                    if nb > tracer.compact_budget:
-                        tracer = dc.replace(tracer, compact_budget=nb)
-                        changed.append(f"compact_budget->{nb} (shared secondary)")
-                if tracer.minsdf_budget:
-                    nb = min(2 * tracer.minsdf_budget, 3 * n_local)
-                    if nb > tracer.minsdf_budget:
-                        tracer = dc.replace(tracer, minsdf_budget=nb)
-                        changed.append(f"minsdf_budget->{nb} (shared secondary)")
-                if tracer.rootfind_budget:
-                    nb = min(2 * tracer.rootfind_budget, 3 * n_local)
-                    if nb > tracer.rootfind_budget:
-                        tracer = dc.replace(tracer, rootfind_budget=nb)
-                        changed.append(f"rootfind_budget->{nb} (shared secondary)")
-        if counts.get("trace_overflow") and tracer.compact_budget:
-            nb = min(2 * tracer.compact_budget, n_local)
-            if nb > tracer.compact_budget:
-                tracer = dc.replace(tracer, compact_budget=nb)
-                changed.append(f"compact_budget->{nb}")
-        if counts.get("indirect_overflow") and self.model.indirect_fraction < 1.0:
-            nf = min(2.0 * self.model.indirect_fraction, 1.0)
-            self.model = dc.replace(self.model, indirect_fraction=nf)
-            changed.append(f"indirect_fraction->{nf:g}")
-        if counts.get("rootfind_overflow") and tracer.rootfind_budget:
-            nb = min(2 * tracer.rootfind_budget, n_local)
-            if nb > tracer.rootfind_budget:
-                tracer = dc.replace(tracer, rootfind_budget=nb)
-                changed.append(f"rootfind_budget->{nb}")
+        self.model, changed = budgets.escalate(self.model, counts, n_local)
         if not changed:
             return
-        self.model = dc.replace(
-            self.model, ray_tracer=tracer, secondary_ray_tracer=sec
-        )
         self._step_cache.clear()
         if self.is_main:
             print(

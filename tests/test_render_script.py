@@ -62,6 +62,51 @@ def test_render_script_writes_outputs(scene_dir, trained_exp, tmp_path):
     )
 
 
+def test_render_auto_budget_and_starved_budgets_match_dense(
+        scene_dir, trained_exp, tmp_path):
+    """The production AA render must be exact whatever the budgets: the
+    auto-sized run (probe + margin) and a deliberately starved run (every
+    budget far below demand, exercising the escalate-and-re-render loop)
+    must both produce EXRs identical to the dense render (VERDICT r4 #2/#4:
+    the reference always renders dense, scripts/render.py:283-356, so
+    exactness here is unconditional)."""
+    import dataclasses as dc
+
+    exps_dir, timestamp = trained_exp
+    common = dict(
+        conf=parse_string(TRAIN_CONF), data_split_dir=scene_dir,
+        old_expdir=os.path.join(exps_dir, "test_scene"), timestamp=timestamp,
+        gamma=1.0, num_rays=2, memory_capacity_level=10, max_views=1,
+    )
+
+    out_dense = str(tmp_path / "dense")
+    r = RenderRunner(out_dir=out_dense, no_auto_budget=True, **common)
+    r.run()
+
+    out_auto = str(tmp_path / "auto")
+    r_auto = RenderRunner(out_dir=out_auto, **common)
+    assert r_auto.auto_budget
+    r_auto.run()
+    assert getattr(r_auto, "_budgets_sized", False)
+
+    out_starved = str(tmp_path / "starved")
+    r_st = RenderRunner(out_dir=out_starved, no_auto_budget=True, **common)
+    tr = dc.replace(r_st.model.ray_tracer, sampler_budget=2, rootfind_budget=2)
+    r_st.render_model = dc.replace(
+        r_st.model, ray_tracer=tr,
+        secondary_ray_tracer=dc.replace(tr, sampler_budget=4),
+        secondary_fraction=0.3, indirect_fraction=0.3, shade_fraction=0.6,
+    )
+    r_st.run()
+
+    for name in ("rerender_rgb", "diffuse_rgb", "specular_rgb",
+                 "diffuse_albedo", "roughness", "specular_reflection"):
+        ref = exr.read(os.path.join(out_dense, f"{name}_000.exr"))
+        for variant in (out_auto, out_starved):
+            got = exr.read(os.path.join(variant, f"{name}_000.exr"))
+            np.testing.assert_array_equal(got, ref, err_msg=f"{variant}/{name}")
+
+
 def test_evaluate_script(scene_dir, trained_exp, tmp_path):
     import shutil
 
