@@ -217,6 +217,34 @@ def main():
         for i in range(len(CENTERS))
     }
 
+    # ---- 2b. light recovery (separates light error from material error) --
+    # render both the recovered and the GT light as lat-long radiance maps
+    # and compare where the GT has energy: with a 2-lobe GT the sphere is
+    # mostly dark, so a plain full-sphere PSNR would be dominated by the
+    # empty regions. Report full-sphere AND energy-weighted numbers, plus
+    # the recovered lgtSGs themselves (saved next to the JSON for post-hoc
+    # analysis; reference envmaps/fit_envmap_with_sg.py visualizes the same
+    # artifact).
+    from nefii_tpu.ops.sg import compute_envmap
+
+    lgt_rec = np.asarray(
+        model.envmap_material_network.get_lgtSGs(
+            params["envmap_material_network"]))
+    He, We = 64, 128
+    env_rec = np.asarray(compute_envmap(jnp.asarray(lgt_rec), He, We))
+    env_gt = np.asarray(compute_envmap(
+        jnp.asarray(sg_lights_as_lgtSGs(SG_LIGHTS, 32)), He, We))
+    peak2 = float(env_gt.max()) ** 2  # peak-normalized: radiance spans ~[0,20]
+    results["light_env_psnr_db"] = round(
+        -10 * np.log10(max(float(np.mean((env_rec - env_gt) ** 2)) / peak2,
+                           1e-10)), 3)
+    w = env_gt.mean(-1) + 1e-3
+    werr = ((env_rec - env_gt) ** 2).mean(-1)
+    results["light_env_weighted_psnr_db"] = round(
+        -10 * np.log10(max(float((werr * w).sum() / w.sum()) / peak2,
+                           1e-10)), 3)
+    np.save(OUT.replace(".json", "_lgtSGs.npy"), lgt_rec)
+
     # ---- 3. relighting ----------------------------------------------------
     R = rot_y(RELIGHT_DEG)
     lights_rot = rotate_sg_lights(SG_LIGHTS, R)

@@ -364,7 +364,10 @@ def render_gt_sg(C2W, K, H, W, sg_lights=None, n_light_samples=128,
         bg += np.asarray(mu, np.float32) * np.exp(
             lam * (d_w @ xi - 1.0))[..., None]
     img = np.where(mask[..., None], np.clip(direct + indirect, 0, 1.1), bg)
-    return img.astype(np.float32), mask, {"direct": direct, "indirect": indirect}
+    albedo = np.ones((H, W, 3), np.float32)
+    albedo[mask] = ALBEDOS[comp]
+    return img.astype(np.float32), mask, {
+        "direct": direct, "indirect": indirect, "albedo": albedo}
 
 
 def rotate_sg_lights(sg_lights, R):
