@@ -61,11 +61,15 @@ T0 = time.perf_counter()
 # validation runs (BENCH_DEADLINE_S=3600 python bench.py).
 DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 900.0))
 MARGIN_S = 120.0
-# worst-case COLD-compile wall time per phase, measured round 4 (339/239/
-# 218 s for render/train/aa with partial cache hits; exact-secondary's
-# fresh multi-minute compile has never completed under the driver, so it
-# gets the largest reservation)
+# worst-case COLD-compile wall time per phase (round-5 chip measurement:
+# 339/312/281/183 s for render/train/exact/aa with a part-warm cache;
+# exact-secondary's fresh multi-minute compile gets the largest
+# reservation). The gate scales these by how fast the HEADLINE phase
+# actually ran vs its own cold cost — a warm persistent compile cache
+# makes every phase several times faster, and gating warm runs on cold
+# estimates would skip phases that easily fit (see can_start in main).
 PHASE_EST_S = {"train": 320.0, "exact": 420.0, "aa": 380.0}
+HEADLINE_COLD_S = 340.0
 
 from nefii_tpu.models.idr import OVERFLOW_KEYS
 
@@ -194,8 +198,14 @@ def main():
 
     emit()  # headline alone is already a valid round record
 
+    # cache-warmth factor: how fast the headline ran vs its cold cost,
+    # floored so a lucky phase-1 can never talk a genuinely cold run into
+    # starting a phase it cannot finish
+    t_headline = time.perf_counter() - T0
+    warmth = min(max(t_headline / HEADLINE_COLD_S, 0.3), 1.25)
+
     def can_start(phase):
-        return _time_left() > PHASE_EST_S[phase] + MARGIN_S
+        return _time_left() > PHASE_EST_S[phase] * warmth + MARGIN_S
 
     if can_start("train"):
         train_step_s, train_overflow = bench_train_step()
