@@ -1147,15 +1147,8 @@ def _read_cstring(data: bytes, off: int) -> Tuple[str, int]:
     return data[off:end].decode("latin-1"), end + 1
 
 
-def _parse_header(data: bytes):
-    if data[:4] != MAGIC:
-        raise ValueError("not an EXR file")
-    version = struct.unpack("<i", data[4:8])[0]
-    if version & 0x800:
-        raise NotImplementedError("deep EXR not supported")
-    if version & 0x1000:
-        raise NotImplementedError("multi-part EXR not supported")
-    off = 8
+def _parse_attrs(data: bytes, off: int):
+    """One header's attribute list (ends at the empty-name terminator)."""
     attrs: Dict[str, Tuple[str, bytes]] = {}
     while True:
         name, off = _read_cstring(data, off)
@@ -1167,6 +1160,40 @@ def _parse_header(data: bytes):
         attrs[name] = (typ, data[off : off + size])
         off += size
     return attrs, off
+
+
+def _parse_headers(data: bytes):
+    """All part headers -> (headers, offset_after_headers, multipart).
+
+    Single-part files have one header; multi-part files (version bit 12,
+    OpenEXR 2.0) a header SEQUENCE terminated by an empty header
+    (ImfMultiPartInputFile.cpp). Single-part deep files (version bit 11)
+    are rejected here; a multi-part file's deep PARTS are rejected only
+    when selected (read(part=...)), so image parts of mixed files stay
+    readable."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an EXR file")
+    version = struct.unpack("<i", data[4:8])[0]
+    if version & 0x800:
+        raise NotImplementedError("deep EXR not supported")
+    if not version & 0x1000:
+        attrs, off = _parse_attrs(data, 8)
+        return [attrs], off, False
+    headers = []
+    off = 8
+    while data[off] != 0:
+        attrs, off = _parse_attrs(data, off)
+        headers.append(attrs)
+    return headers, off + 1, True  # +1: the empty terminating header
+
+
+def _parse_header(data: bytes):
+    """Single-part header (back-compat wrapper) -> (attrs, offset)."""
+    headers, off, multipart = _parse_headers(data)
+    if multipart:
+        raise NotImplementedError(
+            "multi-part EXR: use read(path, part=...)")
+    return headers[0], off
 
 
 def _parse_chlist(raw: bytes) -> List[Tuple[str, int]]:
@@ -1266,25 +1293,37 @@ def _tile_chunk_counts(W, H, xs, ys, mode, round_up):
     return counts
 
 
-def _read_tiled(data, attrs, off, chans, compression, W, H, plinear):
-    """Single-part tiled EXR: decode the full-resolution level (0, 0) —
-    what InputFile's scanline API exposes for tiled files and all the
-    pipeline consumes; lower mip/rip levels are skipped. Each tile is one
+def _read_tiled(data, attrs, off, chans, compression, W, H, plinear,
+                offsets=None, prefix=0, part_idx=0):
+    """Tiled EXR part: decode the full-resolution level (0, 0) — what
+    InputFile's scanline API exposes for tiled files and all the pipeline
+    consumes; lower mip/rip levels are skipped. Each tile is one
     independently-compressed chunk of the SAME codecs as scanline blocks,
-    with scanline width = the (edge-clipped) tile width."""
+    with scanline width = the (edge-clipped) tile width. `offsets` is the
+    part's chunk-offset table (read from `off` for single-part files);
+    `prefix`=4 skips a multi-part chunk's leading part-number field after
+    validating it against `part_idx`."""
     xs, ys, md = struct.unpack("<IIB", attrs["tiles"][1][:9])
     mode, round_up = md & 0x0F, (md >> 4) & 0x0F == 1
     if xs <= 0 or ys <= 0:
         raise ValueError(f"corrupt EXR: tile size {xs}x{ys}")
-    counts = _tile_chunk_counts(W, H, xs, ys, mode, round_up)
-    n_chunks = sum(cx * cy for _, (cx, cy) in counts)
-    offsets = struct.unpack(f"<{n_chunks}q", data[off : off + 8 * n_chunks])
+    if offsets is None:
+        counts = _tile_chunk_counts(W, H, xs, ys, mode, round_up)
+        n_chunks = sum(cx * cy for _, (cx, cy) in counts)
+        offsets = struct.unpack(f"<{n_chunks}q", data[off : off + 8 * n_chunks])
 
     out = {name: np.empty((H, W), np.float32) for name, _ in chans}
     seen = np.zeros((-(-H // ys), -(-W // xs)), bool)
     for boff in offsets:
         if boff == 0:  # unwritten tile (incomplete file): leave a hole only
             continue   # if it is a level-0 tile — checked via `seen` below
+        if prefix:
+            pnum = struct.unpack("<i", data[boff : boff + 4])[0]
+            if pnum != part_idx:
+                raise ValueError(
+                    f"corrupt EXR: chunk of part {pnum} in part "
+                    f"{part_idx}'s offset table")
+            boff += 4
         dx, dy, lx, ly, size = struct.unpack("<5i", data[boff : boff + 20])
         if lx != 0 or ly != 0:
             continue  # lower-resolution mip/rip level
@@ -1305,15 +1344,64 @@ def _read_tiled(data, attrs, off, chans, compression, W, H, plinear):
     return out
 
 
-def read(path: str) -> np.ndarray:
+_IMAGE_PART_TYPES = (b"scanlineimage", b"tiledimage")
+
+
+def read(path: str, part=None) -> np.ndarray:
     """Read an EXR into float32 [H, W, C]; RGB(A) channel order when named.
 
-    Handles single-part scanline AND single-part tiled images (tiled: the
+    Handles single-part scanline AND tiled images (tiled: the
     full-resolution level of ONE_LEVEL / MIPMAP_LEVELS / RIPMAP_LEVELS
-    files) at every compression in DECODE_COMPRESSIONS."""
+    files) at every compression in DECODE_COMPRESSIONS, plus MULTI-PART
+    files (OpenEXR 2.0, ImfMultiPartInputFile): `part` selects a part by
+    index or by its `name` attribute; the default is the first IMAGE
+    (scanline/tiled) part, so mixed files whose leading parts are deep
+    still read. Deep parts raise NotImplementedError when selected."""
     with open(path, "rb") as f:
         data = f.read()
-    attrs, off = _parse_header(data)
+    headers, off, multipart = _parse_headers(data)
+
+    prefix = 0
+    part_idx = 0
+    offsets = None
+    if multipart:
+        # one chunk-offset table per part, in header order, each sized by
+        # the part's required chunkCount attribute
+        tables = []
+        for h in headers:
+            n = struct.unpack("<i", h["chunkCount"][1])[0]
+            tables.append(struct.unpack(f"<{n}q", data[off : off + 8 * n]))
+            off += 8 * n
+        names = [h.get("name", ("", b""))[1] for h in headers]
+        if part is None:
+            imgs = [i for i, h in enumerate(headers)
+                    if h.get("type", ("", b""))[1] in _IMAGE_PART_TYPES]
+            if not imgs:
+                raise NotImplementedError(
+                    "multi-part EXR with no scanline/tiled image part "
+                    f"(part types: {[h.get('type', ('', b''))[1] for h in headers]})")
+            part_idx = imgs[0]
+        elif isinstance(part, str):
+            if part.encode("latin-1") not in names:
+                raise ValueError(
+                    f"no part named {part!r} (parts: "
+                    f"{[n.decode('latin-1') for n in names]})")
+            part_idx = names.index(part.encode("latin-1"))
+        else:
+            if not 0 <= int(part) < len(headers):
+                raise ValueError(
+                    f"part {part} out of range ({len(headers)} parts)")
+            part_idx = int(part)
+        attrs = headers[part_idx]
+        ptype = attrs.get("type", ("", b""))[1]
+        if ptype not in _IMAGE_PART_TYPES:
+            raise NotImplementedError(
+                f"EXR part type {ptype.decode('latin-1')!r} not supported "
+                "(deep parts)")
+        offsets = tables[part_idx]
+        prefix = 4  # every multi-part chunk leads with its part number
+    else:
+        attrs = headers[0]
 
     chans = sorted(_parse_chlist(attrs["channels"][1]))  # alphabetical = file order
     compression = attrs["compression"][1][0]
@@ -1325,17 +1413,30 @@ def read(path: str) -> np.ndarray:
     plinear = (_parse_chlist_plinear(attrs["channels"][1])
                if compression in (B44, B44A) else None)
 
-    if "tiles" in attrs:
-        out = _read_tiled(data, attrs, off, chans, compression, W, H, plinear)
+    tiled = ("tiles" in attrs if not multipart
+             else attrs.get("type", ("", b""))[1] == b"tiledimage")
+    if tiled:
+        out = _read_tiled(data, attrs, off, chans, compression, W, H,
+                          plinear, offsets=offsets, prefix=prefix,
+                          part_idx=part_idx)
     else:
         lines_per_block = _LINES_PER_BLOCK[compression]
         n_blocks = -(-H // lines_per_block)
 
-        # line-offset table
-        offsets = struct.unpack(f"<{n_blocks}q", data[off : off + 8 * n_blocks])
+        if offsets is None:
+            # single-part: the line-offset table follows the header
+            offsets = struct.unpack(
+                f"<{n_blocks}q", data[off : off + 8 * n_blocks])
 
         out = {name: np.empty((H, W), np.float32) for name, _ in chans}
         for bi, boff in enumerate(offsets):
+            if prefix:
+                pnum = struct.unpack("<i", data[boff : boff + 4])[0]
+                if pnum != part_idx:
+                    raise ValueError(
+                        f"corrupt EXR: chunk of part {pnum} in part "
+                        f"{part_idx}'s offset table")
+                boff += 4
             y, size = struct.unpack("<ii", data[boff : boff + 8])
             y -= y_min
             n_lines = min(lines_per_block, H - y)

@@ -111,6 +111,37 @@ def test_tiled_incomplete_raises(tmp_path):
         exr.read(str(p))
 
 
+MULTIPART = [
+    (0, "beauty", "multipart_part0.f32", 3),      # scanline ZIP float
+    (1, "aux_tiled", "multipart_part1.f32", 3),   # tiled PIZ half
+    (2, "depth", "multipart_part2.f32", 1),       # scanline ZIPS float Z
+]
+
+
+@pytest.mark.parametrize("idx,name,gt_file,C", MULTIPART)
+def test_multipart_decode_matches_libopenexr(idx, name, gt_file, C):
+    """Multi-part decode (OpenEXR 2.0, tests/gen_exr_multipart.cpp): every
+    part — selected by index OR by its `name` attribute — must match the
+    libOpenEXR MultiPartInputFile read-back bit-for-bit, including the
+    tiled part whose chunks carry the part-number prefix."""
+    path = os.path.join(FIX, "multipart.exr")
+    gt = np.fromfile(os.path.join(FIX, gt_file), np.float32).reshape(41, 73, C)
+    np.testing.assert_array_equal(exr.read(path, part=idx), gt)
+    np.testing.assert_array_equal(exr.read(path, part=name), gt)
+
+
+def test_multipart_default_and_errors():
+    path = os.path.join(FIX, "multipart.exr")
+    # default = first image part (part 0 here)
+    gt = np.fromfile(os.path.join(FIX, "multipart_part0.f32"),
+                     np.float32).reshape(41, 73, 3)
+    np.testing.assert_array_equal(exr.read(path), gt)
+    with pytest.raises(ValueError, match="out of range"):
+        exr.read(path, part=7)
+    with pytest.raises(ValueError, match="no part named"):
+        exr.read(path, part="nope")
+
+
 def test_piz_write_roundtrip(tmp_path):
     """PIZ write: encode with the numpy codec, decode with the (fixture-
     validated) numpy PIZ decoder; exact for HALF and FLOAT data."""
