@@ -6,13 +6,14 @@ binary download unavailable here, and neither cv2 nor imageio in this image
 has EXR support — so we implement the subset of the format the pipeline
 needs:
 
-  * read:  single-part scanline AND single-part tiled images (tiled: the
-           full-resolution level of ONE_LEVEL / MIPMAP_LEVELS /
-           RIPMAP_LEVELS files — what the scanline-level libOpenEXR API
-           exposes), compression NONE / RLE / ZIPS / ZIP / PIZ / PXR24 /
-           B44 / B44A / DWAA / DWAB, channel types HALF / FLOAT / UINT,
-           arbitrary channel names (returned in R,G,B[,A] order when
-           present).
+  * read:  scanline AND tiled images (tiled: the full-resolution level of
+           ONE_LEVEL / MIPMAP_LEVELS / RIPMAP_LEVELS files — what the
+           scanline-level libOpenEXR API exposes), single-part or
+           MULTI-PART (part selected by index or name; default = first
+           image part; deep parts raise NotImplementedError), compression
+           NONE / RLE / ZIPS / ZIP / PIZ / PXR24 / B44 / B44A / DWAA /
+           DWAB, channel types HALF / FLOAT / UINT, arbitrary channel
+           names (returned in R,G,B[,A] order when present).
   * write: RGB(A) scanline images, HALF or FLOAT, ZIP (16-line blocks),
            PIZ (32-line blocks) or NONE.
 
