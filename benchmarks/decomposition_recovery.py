@@ -38,10 +38,14 @@ Variants: reduced|exact|fused|bf16 select the secondary tracer / fused-SDF
 knobs (see synthetic_scene.build_model); "oracle" = bf16 arm with the light
 INITIALIZED TO GROUND TRUTH AND FROZEN — the diagnostic ladder rung that
 separates light-estimation error from shading-model error in the albedo
-score.
+score; "oracle_init" = GT light init but TRAINABLE (the reference's
+--light_sg_path warm-start workflow) — whether it holds or drifts
+separates an optimization-landscape failure (bad light MODES from random
+init) from a supervision failure (the objective itself pulls light away
+from truth).
 
 Usage: python decomposition_recovery.py <iters> <seed> <out.json> \
-           [res] [views] [variant: reduced|exact|fused|bf16|oracle]
+           [res] [views] [variant: reduced|exact|fused|bf16|oracle|oracle_init]
 """
 import json
 import os
@@ -131,7 +135,8 @@ def main():
     views = make_views_sg(N_VIEWS, H, W)
     print(f"[recovery] GT views: {time.time()-t_gt:.0f}s", flush=True)
     train_views, test_view = views[:-1], views[-1]
-    model = build_model("bf16" if VARIANT == "oracle" else VARIANT)
+    model = build_model(
+        "bf16" if VARIANT in ("oracle", "oracle_init") else VARIANT)
 
     t0 = time.time()
     params = run_training(
@@ -140,7 +145,7 @@ def main():
             f"[recovery s{SEED} {VARIANT}] it={it} loss={l:.4f} "
             f"elapsed={(time.time()-t0)/60:.1f}m", flush=True),
         init_lgtSGs=(sg_lights_as_lgtSGs(SG_LIGHTS, 32)
-                     if VARIANT == "oracle" else None),
+                     if VARIANT in ("oracle", "oracle_init") else None),
         freeze_light=(VARIANT == "oracle"),
         # the shipped recipe's symmetry breaker (robot/run_s2.sh
         # --roughness_warmup 5000): fake fixed roughness for the first 5k
