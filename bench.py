@@ -35,10 +35,12 @@ the phases finished so far filled in — the driver parses the LAST JSON line,
 so whatever is done when a kill arrives is what gets recorded (round 4
 printed only at the very end and the driver's timeout erased the whole
 round's measurement, VERDICT r4 weak #1). Phases are ordered by importance
-(headline render -> reduced train step -> exact-secondary step -> AA
-render) and a phase only STARTS if its worst-case cold-compile estimate
-fits inside the remaining driver budget with >= 120 s margin; otherwise its
-entry says it was skipped and the record so far stands.
+per unit time (headline render -> reduced train step -> AA render ->
+exact-secondary step; the exact-secondary phase is the slowest even fully
+warm, so it goes last) and a phase only STARTS if its worst-case
+cold-compile estimate — scaled by the measured cache warmth — fits inside
+the remaining driver budget with >= 120 s margin; otherwise its entry says
+it was skipped and the record so far stands.
 """
 
 import dataclasses
@@ -230,29 +232,6 @@ def main():
                     "value": None, "unit": "s/step/chip", "vs_baseline": None}
     emit()
 
-    if can_start("exact"):
-        exact_step_s, exact_overflow = bench_train_step(exact_secondary=True)
-        print(f"[bench] exact-secondary train step done "
-              f"t={time.perf_counter()-T0:.0f}s (overflow={exact_overflow})",
-              file=sys.stderr)
-        extra[1] = {
-            "metric": "train-step wall time, same scale, with the "
-                      "REFERENCE secondary tracer (10 sphere-trace iters, "
-                      "3 line-search steps, 100 sampler steps, 32 "
-                      "rootfind — semantics-identical to the reference), "
-                      "overflow-free compaction "
-                      f"(counters={exact_overflow}); vs_baseline = "
-                      "speedup over the 9.0 s/chip round-1 measurement",
-            "value": round(exact_step_s, 4),
-            "unit": "s/step/chip",
-            "vs_baseline": round(9.0 / exact_step_s, 2),
-        }
-    else:
-        extra[1] = {"metric": "exact-secondary train-step (skipped: bench "
-                              "time budget)",
-                    "value": None, "unit": "s/step/chip", "vs_baseline": None}
-    emit()
-
     if can_start("aa"):
         aa_fast, aa_exact, aa_overflow, aa_budgets = bench_aa_render()
         print(f"[bench] aa render done t={time.perf_counter()-T0:.0f}s "
@@ -274,6 +253,28 @@ def main():
         extra[2] = {"metric": "AA render (skipped: bench time budget)",
                     "value": None, "unit": "pixels/sec/chip",
                     "vs_baseline": None}
+    emit()
+    if can_start("exact"):
+        exact_step_s, exact_overflow = bench_train_step(exact_secondary=True)
+        print(f"[bench] exact-secondary train step done "
+              f"t={time.perf_counter()-T0:.0f}s (overflow={exact_overflow})",
+              file=sys.stderr)
+        extra[1] = {
+            "metric": "train-step wall time, same scale, with the "
+                      "REFERENCE secondary tracer (10 sphere-trace iters, "
+                      "3 line-search steps, 100 sampler steps, 32 "
+                      "rootfind — semantics-identical to the reference), "
+                      "overflow-free compaction "
+                      f"(counters={exact_overflow}); vs_baseline = "
+                      "speedup over the 9.0 s/chip round-1 measurement",
+            "value": round(exact_step_s, 4),
+            "unit": "s/step/chip",
+            "vs_baseline": round(9.0 / exact_step_s, 2),
+        }
+    else:
+        extra[1] = {"metric": "exact-secondary train-step (skipped: bench "
+                              "time budget)",
+                    "value": None, "unit": "s/step/chip", "vs_baseline": None}
     emit()
 
 
