@@ -200,17 +200,29 @@ def main():
 
     emit()  # headline alone is already a valid round record
 
-    # cache-warmth factor: how fast the headline ran vs its cold cost,
-    # floored so a lucky phase-1 can never talk a genuinely cold run into
-    # starting a phase it cannot finish
-    t_headline = time.perf_counter() - T0
-    warmth = min(max(t_headline / HEADLINE_COLD_S, 0.3), 1.25)
+    # Cache-warmth factor: the MINIMUM measured/cold-estimate ratio over
+    # the phases completed so far. The headline alone is a poor signal —
+    # it absorbs one-time costs (tunnel reconnect, first page-cache load)
+    # and once measured 340 s on a machine whose later phases then ran in
+    # 35-40 s; keying on the best observed phase lets the gate admit the
+    # last phase in that regime. Floored so a lucky phase can never talk a
+    # genuinely cold run into starting a phase it cannot finish (cache
+    # entries are written together, so mixed warmth is unlikely), and even
+    # if the gate misjudges, every completed phase was already emitted.
+    ratios = [(time.perf_counter() - T0) / HEADLINE_COLD_S]
 
     def can_start(phase):
+        warmth = min(max(min(ratios), 0.15), 1.25)
         return _time_left() > PHASE_EST_S[phase] * warmth + MARGIN_S
 
+    def timed_phase(phase, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        ratios.append((time.perf_counter() - t0) / PHASE_EST_S[phase])
+        return out
+
     if can_start("train"):
-        train_step_s, train_overflow = bench_train_step()
+        train_step_s, train_overflow = timed_phase("train", bench_train_step)
         print(f"[bench] train step done t={time.perf_counter()-T0:.0f}s "
               f"(overflow={train_overflow})", file=sys.stderr)
         extra[0] = {
@@ -233,7 +245,8 @@ def main():
     emit()
 
     if can_start("aa"):
-        aa_fast, aa_exact, aa_overflow, aa_budgets = bench_aa_render()
+        aa_fast, aa_exact, aa_overflow, aa_budgets = timed_phase(
+            "aa", bench_aa_render)
         print(f"[bench] aa render done t={time.perf_counter()-T0:.0f}s "
               f"(overflow={aa_overflow})", file=sys.stderr)
         extra[2] = {
